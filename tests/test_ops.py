@@ -1,0 +1,100 @@
+"""Ops layer unit tests: attention twins, FSQ, conv, norms."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts_zs_tpu.ops import attention as A
+from styletts_zs_tpu.ops import conv as C
+from styletts_zs_tpu.ops import fsq as F
+from styletts_zs_tpu.ops import norm as N
+
+
+def _rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32) * scale)
+
+
+def test_local_attention_matches_reference():
+    B, T, H, D = 2, 64, 4, 16
+    chunk = 16
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    ref = A.local_attention_reference(q, k, v, chunk=chunk)
+    out = A.local_attention(q, k, v, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_local_attention_with_mask():
+    B, T, H, D = 2, 64, 4, 16
+    chunk = 16
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    lengths = jnp.array([50, 64])
+    kv_mask = A.length_mask(lengths, T)
+    ref = A.local_attention_reference(q, k, v, chunk=chunk, kv_mask=kv_mask)
+    out = A.local_attention(q, k, v, chunk=chunk, kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_full_attention_softmax_rows():
+    B, T, H, D = 1, 8, 2, 4
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    out = A.mha(q, k, v)
+    assert out.shape == (B, T, H, D)
+    # identity value check: if v is one-hot over T, outputs are convex combos
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fsq_roundtrip_and_range():
+    levels = (8, 8, 5, 5)
+    z = _rand((4, 16, 4), scale=3.0)
+    codes = F.quantize(z, levels)
+    c = np.asarray(codes)
+    assert c.min() >= -1.0 - 1e-6 and c.max() <= 1.0 + 1e-6
+    idx = F.codes_to_indices(codes, levels)
+    back = F.indices_to_codes(idx, levels)
+    np.testing.assert_allclose(np.asarray(back), c, atol=1e-6)
+    assert int(np.asarray(idx).max()) < F.codebook_size(levels)
+
+
+def test_fsq_straight_through_grad():
+    levels = (8, 8, 5)
+    z = _rand((2, 3), scale=0.5)
+    g = jax.grad(lambda z: jnp.sum(F.quantize(z, levels) ** 2))(z)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_conv1d_same_padding_shape():
+    x = _rand((2, 32, 8))
+    k = _rand((5, 8, 16), 1, 0.1)
+    y = C.conv1d(x, k)
+    assert y.shape == (2, 32, 16)
+    y2 = C.conv1d(x, k, dilation=2)
+    assert y2.shape == (2, 32, 16)
+
+
+def test_conv_transpose_upsamples():
+    x = _rand((2, 16, 8))
+    k = _rand((10, 8, 4), 1, 0.1)
+    y = C.conv_transpose1d(x, k, stride=5)
+    assert y.shape == (2, 80, 4)
+
+
+def test_adain_normalizes_time_axis():
+    x = _rand((2, 32, 8), scale=5.0)
+    scale = jnp.zeros((2, 8))
+    shift = jnp.zeros((2, 8))
+    y = N.adain(x, scale, shift)
+    m = np.asarray(jnp.mean(y, axis=1))
+    s = np.asarray(jnp.std(y, axis=1))
+    np.testing.assert_allclose(m, 0.0, atol=1e-4)
+    np.testing.assert_allclose(s, 1.0, atol=1e-2)
+
+
+def test_adaln_time_varying_style():
+    x = _rand((2, 16, 8))
+    scale = _rand((2, 16, 8), 1, 0.1)
+    shift = _rand((2, 16, 8), 2, 0.1)
+    y = N.adaln(x, scale, shift)
+    assert y.shape == x.shape
