@@ -1,0 +1,158 @@
+"""Multi-modal discriminators for adversarial stage-1 training.
+
+Claim A4 of ``/root/reference/README.md:5``: "trained adversarially with
+multi-modal discriminators".  Build set per SURVEY.md §2.2 [recon]:
+MPD (multi-period, waveform) + MRD (multi-resolution spectrogram) +
+mel-patch discriminator.  All return per-scale logits plus intermediate
+feature maps for feature-matching loss.  LSGAN objectives (SURVEY.md §7.2
+item 3: stability in bf16).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from styletts_zs_tpu.ops import stft as stft_ops
+from styletts_zs_tpu.utils.config import AudioConfig, DiscriminatorConfig
+
+
+class PeriodDiscriminator(nn.Module):
+    """Waveform folded at one period -> 2D conv stack (MPD component)."""
+
+    period: int
+    channels: int
+    max_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        """wav: (B, T) -> (logits (B, T', 1), features list)."""
+        B, T = wav.shape
+        p = self.period
+        T_pad = ((T + p - 1) // p) * p
+        x = jnp.pad(wav, ((0, 0), (0, T_pad - T)), mode="reflect")
+        x = x.reshape(B, T_pad // p, p, 1)
+        feats = []
+        ch = self.channels
+        for i in range(4):
+            x = nn.Conv(min(ch, self.max_channels), (5, 1), strides=(3, 1),
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = jax.nn.leaky_relu(x, 0.1)
+            feats.append(x)
+            ch *= 4
+        x = nn.Conv(self.max_channels, (5, 1), dtype=self.dtype, name="conv4")(x)
+        x = jax.nn.leaky_relu(x, 0.1)
+        feats.append(x)
+        logits = nn.Conv(1, (3, 1), dtype=self.dtype, name="out")(x)
+        return logits.reshape(B, -1), feats
+
+
+class ResolutionDiscriminator(nn.Module):
+    """Magnitude spectrogram at one resolution -> 2D conv stack (MRD)."""
+
+    n_fft: int
+    hop: int
+    channels: int
+    max_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jax.Array):
+        cfg = AudioConfig(n_fft=self.n_fft, win_length=self.n_fft,
+                          hop_length=self.hop)
+        mag = stft_ops.spectrogram(wav, cfg)  # (B, F, n_freq)
+        x = mag[..., None].astype(self.dtype)
+        feats = []
+        ch = self.channels
+        for i in range(4):
+            x = nn.Conv(min(ch, self.max_channels), (3, 9), strides=(1, 2),
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = jax.nn.leaky_relu(x, 0.1)
+            feats.append(x)
+            ch *= 2
+        logits = nn.Conv(1, (3, 3), dtype=self.dtype, name="out")(x)
+        return logits.reshape(wav.shape[0], -1), feats
+
+
+class MelPatchDiscriminator(nn.Module):
+    """Mel-spectrogram patch critic (spectral modality on the decoder output)."""
+
+    channels: int
+    max_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array):
+        """mel: (B, T, n_mels)."""
+        x = mel[..., None].astype(self.dtype)
+        feats = []
+        ch = self.channels
+        for i in range(4):
+            x = nn.Conv(min(ch, self.max_channels), (3, 3), strides=(2, 2),
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            x = jax.nn.leaky_relu(x, 0.1)
+            feats.append(x)
+            ch *= 2
+        logits = nn.Conv(1, (3, 3), dtype=self.dtype, name="out")(x)
+        return logits.reshape(mel.shape[0], -1), feats
+
+
+class MultiModalDiscriminator(nn.Module):
+    """The full critic ensemble over waveform + spectral modalities (A4)."""
+
+    cfg: DiscriminatorConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jax.Array, mel: jax.Array):
+        """Returns (list of logits, list of feature-lists), one per critic."""
+        all_logits, all_feats = [], []
+        for p in self.cfg.mpd_periods:
+            lg, ft = PeriodDiscriminator(p, self.cfg.channels,
+                                         self.cfg.max_channels,
+                                         dtype=self.dtype,
+                                         name=f"mpd_p{p}")(wav)
+            all_logits.append(lg)
+            all_feats.append(ft)
+        for n_fft, hop in zip(self.cfg.mrd_ffts, self.cfg.mrd_hops):
+            lg, ft = ResolutionDiscriminator(n_fft, hop, self.cfg.channels,
+                                             self.cfg.max_channels,
+                                             dtype=self.dtype,
+                                             name=f"mrd_{n_fft}")(wav)
+            all_logits.append(lg)
+            all_feats.append(ft)
+        lg, ft = MelPatchDiscriminator(self.cfg.channels,
+                                       self.cfg.max_channels,
+                                       dtype=self.dtype, name="melpatch")(mel)
+        all_logits.append(lg)
+        all_feats.append(ft)
+        return all_logits, all_feats
+
+
+# ---------------------------------------------------------------------------
+# LSGAN losses (SURVEY.md §2.2 "Losses")
+# ---------------------------------------------------------------------------
+
+def discriminator_loss(real_logits, fake_logits):
+    loss = 0.0
+    for r, f in zip(real_logits, fake_logits):
+        loss += jnp.mean((r - 1.0) ** 2) + jnp.mean(f ** 2)
+    return loss / len(real_logits)
+
+
+def generator_adv_loss(fake_logits):
+    loss = 0.0
+    for f in fake_logits:
+        loss += jnp.mean((f - 1.0) ** 2)
+    return loss / len(fake_logits)
+
+
+def feature_matching_loss(real_feats, fake_feats):
+    loss, n = 0.0, 0
+    for rf, ff in zip(real_feats, fake_feats):
+        for r, f in zip(rf, ff):
+            loss += jnp.mean(jnp.abs(r.astype(jnp.float32)
+                                     - f.astype(jnp.float32)))
+            n += 1
+    return loss / max(n, 1)

@@ -1,0 +1,88 @@
+"""Vocoder: transposed-conv upsampling + iSTFT synthesis head.
+
+Obligation: "a vocoder stage producing waveforms" with "vocoder
+transposed-conv/iSTFT kernels" as mandated Pallas hot paths
+(``BASELINE.json:5``; SURVEY.md §2.2 [recon: HiFi-GAN-style MRF + iSTFT
+head]).  Mel frames (hop 300) are upsampled by prod(rates)=75x via
+transposed convs, then an iSTFT head (n_fft 16, hop 4) produces the final
+4x to waveform rate — FLOPs stay at 1/4 of sample rate until the cheap
+overlap-add.  The reference repo has no code.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from styletts_zs_tpu.kernels import dispatch
+from styletts_zs_tpu.utils.config import VocoderConfig
+
+
+class ResBlock(nn.Module):
+    """Dilated residual conv block (multi-receptive-field component)."""
+
+    dim: int
+    kernel: int
+    dilations: tuple[int, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilations):
+            h = jax.nn.leaky_relu(x, 0.1)
+            h = nn.Conv(self.dim, (self.kernel,), kernel_dilation=(d,),
+                        dtype=self.dtype, name=f"conv{i}a")(h)
+            h = jax.nn.leaky_relu(h, 0.1)
+            h = nn.Conv(self.dim, (self.kernel,), dtype=self.dtype,
+                        name=f"conv{i}b")(h)
+            x = x + h
+        return x
+
+
+class Vocoder(nn.Module):
+    cfg: VocoderConfig
+    n_mels: int = 80
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jax.Array, *,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        """mel: (B, T, n_mels) -> waveform (B, (T*prod(rates) - 1) * istft_hop).
+
+        The centered iSTFT yields (F-1)*hop samples for F frames; losses crop
+        to the common length.
+        """
+        c = self.cfg
+        x = nn.Conv(c.dims[0], (7,), dtype=self.dtype, name="conv_in")(mel)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        for i, (rate, kern) in enumerate(zip(c.upsample_rates,
+                                             c.upsample_kernels)):
+            x = jax.nn.leaky_relu(x, 0.1)
+            k = self.param(f"up{i}_kernel", nn.initializers.lecun_normal(),
+                           (kern, c.dims[i], c.dims[i + 1]), jnp.float32)
+            x = dispatch.conv_transpose1d(x, k.astype(self.dtype), stride=rate,
+                                          use_pallas=self.use_pallas)
+            # multi-receptive-field: average of parallel dilated resblocks
+            acc = None
+            for j, rk in enumerate(c.resblock_kernels):
+                h = ResBlock(c.dims[i + 1], rk, c.resblock_dilations,
+                             dtype=self.dtype, name=f"mrf{i}_{j}")(x)
+                acc = h if acc is None else acc + h
+            x = acc / len(c.resblock_kernels)
+        x = jax.nn.leaky_relu(x, 0.1)
+        # iSTFT head: predict magnitude + phase unit vector per bin
+        n_freq = c.istft_n_fft // 2 + 1
+        head = nn.Conv(3 * n_freq, (7,), dtype=self.dtype, name="istft_head")(x)
+        logmag, pc, ps = jnp.split(head, 3, axis=-1)
+        mag = jnp.exp(jnp.clip(logmag.astype(jnp.float32), -12.0, 6.0))
+        norm = jax.lax.rsqrt(pc.astype(jnp.float32) ** 2
+                             + ps.astype(jnp.float32) ** 2 + 1e-7)
+        real = mag * pc.astype(jnp.float32) * norm
+        imag = mag * ps.astype(jnp.float32) * norm
+        wav = dispatch.istft_head(real, imag, n_fft=c.istft_n_fft,
+                                  hop=c.istft_hop, use_pallas=self.use_pallas)
+        return wav.astype(self.dtype)
