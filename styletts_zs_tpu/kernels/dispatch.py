@@ -51,7 +51,9 @@ def adain_conv_block(x, scale, shift, kernel1, kernel2, *, dilation: int = 1,
     h = norm_ops.adain(h, scale[..., C:], shift[..., C:])
     h = jax.nn.silu(h)
     h = conv_ops.conv1d(h, kernel2, dilation=1)
-    return ((x + h) / jnp.sqrt(2.0)).astype(x.dtype)
+    import numpy as np
+    return ((x.astype(jnp.float32) + h.astype(jnp.float32))
+            * np.float32(1.0 / np.sqrt(2.0))).astype(x.dtype)
 
 
 def conv_transpose1d(x, kernel, *, stride: int, use_pallas: bool = False):

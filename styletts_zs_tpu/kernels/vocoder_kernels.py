@@ -1,0 +1,251 @@
+"""Pallas TPU kernels for the vocoder: transposed conv + iSTFT overlap-add.
+
+Obligation: "vocoder transposed-conv/iSTFT kernels ... hand-written Pallas"
+(``BASELINE.json:5``; SURVEY.md §7.2 ranks overlap-add write conflicts as the
+top hard part).  Both kernels sidestep scatter/write conflicts by being
+**output-stationary**: every output sample is a gather-sum over the (static)
+set of input taps that touch it, so each grid block writes disjoint output.
+
+Key transform (derivation in comments): a stride-r transposed conv is, per
+output phase φ = o mod r, a sum over m of x[t - m] @ W_m[φ] with static tap
+matrices W_m.  Concatenating the M+1 shifted input views along features turns
+the whole block into ONE MXU matmul  (T_b, (M+1)·Cin) @ ((M+1)·Cin, r·Cout).
+The iSTFT folds its synthesis DFT matmul into the same structure (taps are
+slices of the synthesis basis), then divides by the precomputed
+window-envelope.
+
+Numerics match the XLA twins (``ops.conv.conv_transpose1d``,
+``ops.stft.istft``) allclose; tests gate this.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from styletts_zs_tpu.ops import stft as stft_ops
+from styletts_zs_tpu.utils.config import AudioConfig
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# shared: shifted-view matmul kernel
+# ---------------------------------------------------------------------------
+
+def _shift_matmul_kernel(x_ref, halo_ref, w_ref, o_ref, *, block_t: int,
+                         n_shift: int, left: int, r: int, c_out: int):
+    """o[q*r + phi] = sum_m window[q + (n_shift-1-m) ...] — see wrapper.
+
+    x_ref: (1, block_t, Cin); halo_ref: (1, 1, left+right, Cin) with
+    left+right = n_shift-1+right halo frames; w_ref: ((n_shift)*Cin, r*c_out).
+    The window is [left-halo | block | right-halo]; shift s takes
+    window[s : s + block_t] for s = 0..n_shift-1.
+    """
+    main = x_ref[0, :, :]
+    halo = halo_ref[0, 0, :, :]
+    parts = []
+    if left > 0:
+        parts.append(halo[:left, :])
+    parts.append(main)
+    if halo.shape[0] - left > 0:
+        parts.append(halo[left:, :])
+    window = jnp.concatenate(parts, axis=0) if len(parts) > 1 else main
+    c_in = main.shape[-1]
+    y = jnp.zeros((block_t, o_ref.shape[-1]), jnp.float32)
+    for s in range(n_shift):
+        # view s reads x[q + s - left]; its tap weights are rows [s*Cin, ...)
+        y += jax.lax.dot_general(
+            window[s: s + block_t, :], w_ref[s * c_in: (s + 1) * c_in, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (block_t, r*c_out)
+    o_ref[0, :, :] = y.astype(o_ref.dtype)
+
+
+def _make_strips(xp, n_blocks, block_t, left, right):
+    """xp: zero-padded (B, n_blocks*block_t + left + right, C) ->
+    (B, n_blocks, left+right, C): the [left | right] halo frames of block i."""
+    l_idx = (jnp.arange(n_blocks)[:, None] * block_t
+             + jnp.arange(left)[None, :])
+    r_idx = (jnp.arange(n_blocks)[:, None] * block_t
+             + block_t + left + jnp.arange(right)[None, :])
+    idx = jnp.concatenate([l_idx, r_idx], axis=1)
+    return xp[:, idx, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "n_shift", "left", "right",
+                                    "block_t"))
+def _shift_matmul(x, w_cat, *, r: int, n_shift: int, left: int, right: int,
+                  block_t: int = 256):
+    """x: (B, T, Cin), w_cat: (n_shift*Cin, r*Cout) -> (B, T*r, Cout).
+
+    out[(q)*r + phi] = sum_s window_view_s[q] @ w_cat rows of view s, where
+    view s corresponds to input shift x[q + s - left].
+    """
+    B, T, Cin = x.shape
+    c_out = w_cat.shape[1] // r
+    bt = min(block_t, T)
+    n_blocks = -(-T // bt)
+    T_pad = n_blocks * bt
+    xp = jnp.pad(x, ((0, 0), (left, right + (T_pad - T)), (0, 0)))
+    main = xp[:, left: left + T_pad, :]
+    strips = _make_strips(xp, n_blocks, bt, left, right)
+
+    kern = functools.partial(_shift_matmul_kernel, block_t=bt,
+                             n_shift=n_shift, left=left, r=r, c_out=c_out)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bt, Cin), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, left + right, Cin),
+                         lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_shift * Cin, r * c_out), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, r * c_out), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_pad, r * c_out), x.dtype),
+        interpret=_interpret(),
+    )(main, strips, w_cat)
+    # (B, T_pad, r*c_out) -> interleave phases -> (B, T_pad*r, c_out)
+    out = out.reshape(B, T_pad * r, c_out)
+    return out[:, : T * r, :]
+
+
+# ---------------------------------------------------------------------------
+# transposed conv
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _convt_plan(K: int, r: int):
+    """Static plan: taps m and padding for the stride-r transposed conv.
+
+    Derivation: jax.lax.conv_transpose(VALID) computes
+        full[f] = sum_t x[t] @ Kf[f - t*r],  Kf = kernel flipped on taps,
+    and ops.conv.conv_transpose1d trims p = (K - r)//2 from the left, so
+        out[q*r + phi] = sum_m x[q - m] @ Kf[phi + p + m*r]
+    over every m with 0 <= phi + p + m*r < K.  m ranges over
+    [-(p // r + 1) ... (K - 1 - p) // r] conservatively; invalid taps are
+    zero rows in the padded basis.
+    """
+    p = (K - r) // 2
+    # smallest m with phi + p + m*r >= 0 for some phi in [0, r):
+    # phi = r-1 needs m >= -(p + r - 1)/r
+    m_min = -((p + r - 1) // r)
+    m_max = (K - 1 - p) // r
+    return p, m_min, m_max
+
+
+def _convt_wcat(kernel: jax.Array, r: int) -> tuple[jax.Array, int, int]:
+    """Build the concatenated tap-weight matrix for ``_shift_matmul``.
+
+    Returns (w_cat ((M)*Cin, r*Cout), n_shift, left) where shift-view s
+    corresponds to tap m = m_max - s (so view s reads x[q - m] = window
+    shifted by s with left halo = m_max).
+    """
+    K, Cin, Cout = kernel.shape
+    p, m_min, m_max = _convt_plan(K, r)
+    Kf = jnp.flip(kernel, axis=0)                      # (K, Cin, Cout)
+    # pad tap axis so every slice [p + m*r, +r) is in range
+    lo = p + m_min * r
+    hi = p + m_max * r + r
+    Kf_ext = jnp.pad(Kf, ((max(0, -lo), max(0, hi - K)), (0, 0), (0, 0)))
+    off = max(0, -lo)
+    blocks = []
+    # view s=0 is the largest shift (reads oldest x): m = m_max down to m_min
+    for m in range(m_max, m_min - 1, -1):
+        Wm = jax.lax.dynamic_slice_in_dim(Kf_ext, off + p + m * r, r, axis=0)
+        blocks.append(jnp.transpose(Wm, (1, 0, 2)))    # (Cin, r, Cout)
+    w = jnp.stack(blocks, axis=0)                      # (M, Cin, r, Cout)
+    M = m_max - m_min + 1
+    w_cat = w.reshape(M * Cin, r * Cout)
+    return w_cat, M, m_max
+
+
+def conv_transpose1d_pallas(x, kernel, *, stride: int):
+    """Pallas twin of ``ops.conv.conv_transpose1d`` (HiFi-GAN padding)."""
+    K, Cin, Cout = kernel.shape
+    r = stride
+    _, m_min, m_max = _convt_plan(K, r)
+    w_cat, M, left = _convt_wcat(kernel, r)
+    right = -m_min
+    return _shift_matmul(x, w_cat, r=r, n_shift=M, left=left, right=right)
+
+
+# ---------------------------------------------------------------------------
+# iSTFT head
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _istft_basis(n_fft: int, hop: int):
+    """Synthesis basis folded with OLA taps, matching ops.stft.istft.
+
+    Returns (w_cat ((M*2*n_freq), hop*1), M) where spec rows are [re | im].
+    """
+    n_freq = n_fft // 2 + 1
+    win = n_fft  # head uses win_length == n_fft
+    weights = np.full((n_freq,), 2.0, dtype=np.float32)
+    weights[0] = 1.0
+    if n_fft % 2 == 0:
+        weights[-1] = 1.0
+    n = np.arange(win)[None, :]
+    k = np.arange(n_freq)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    win_np = stft_ops.hann_window(win).astype(np.float32)
+    syn_c = (weights[:, None] * np.cos(ang) * win_np[None, :]) / n_fft
+    syn_s = (weights[:, None] * np.sin(ang) * win_np[None, :]) / n_fft
+    syn = np.concatenate([syn_c, -syn_s], axis=0)      # (2*n_freq, win)
+    # OLA: out[q*hop + phi] = sum_m frame[q - m, phi + m*hop]
+    M = (win - 1) // hop + 1
+    blocks = []
+    for m in range(M - 1, -1, -1):  # view s=0 = oldest frame (m = M-1)
+        j0 = m * hop
+        Wm = np.zeros((2 * n_freq, hop), np.float32)
+        j1 = min(j0 + hop, win)
+        Wm[:, : j1 - j0] = syn[:, j0:j1]
+        blocks.append(Wm)
+    w_cat = np.concatenate(blocks, axis=0)             # (M*2F, hop)
+    return jnp.asarray(w_cat), M
+
+
+@functools.lru_cache(maxsize=32)
+def _istft_env(n_fft: int, hop: int, F: int, out_len: int):
+    """Window-envelope normalizer over the padded OLA output length."""
+    win = n_fft
+    w2 = np.asarray(stft_ops.hann_window(win), np.float64) ** 2
+    env = np.zeros((out_len,), np.float64)
+    for t in range(F):
+        end = min(t * hop + win, out_len)
+        env[t * hop: end] += w2[: end - t * hop]
+    env = np.maximum(env, 1e-8)
+    return jnp.asarray(env.astype(np.float32))
+
+
+def istft_pallas(real, imag, *, n_fft: int, hop: int):
+    """Pallas twin of the iSTFT head (``dispatch.istft_head`` XLA path).
+
+    real/imag: (B, F, n_freq) -> wav (B, (F-1)*hop), centered trim.
+    """
+    B, F, n_freq = real.shape
+    w_cat, M = _istft_basis(n_fft, hop)
+    spec = jnp.concatenate([real, imag], axis=-1).astype(jnp.float32)
+    # extra zero frames so the block outputs cover the centered-trim region
+    start = n_fft // 2
+    extra = -(-max(0, start + (F - 1) * hop - F * hop) // hop)
+    if extra:
+        spec = jnp.pad(spec, ((0, 0), (0, extra), (0, 0)))
+    Fp = F + extra
+    ola = _shift_matmul(spec, w_cat, r=hop, n_shift=M, left=M - 1, right=0,
+                        block_t=512)[..., 0]           # (B, Fp*hop)
+    env = _istft_env(n_fft, hop, F, Fp * hop)
+    wav = ola / env[None, :]
+    return jax.lax.dynamic_slice_in_dim(wav, start, (F - 1) * hop, axis=1)

@@ -1,0 +1,138 @@
+"""Pallas kernel unit tests vs XLA twins (interpret mode on CPU, SURVEY.md §4.2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from styletts_zs_tpu.kernels import (attention_kernel, decoder_kernels,
+                                     vocoder_kernels)
+from styletts_zs_tpu.kernels import dispatch
+from styletts_zs_tpu.ops import attention as attn_ops
+from styletts_zs_tpu.ops import conv as conv_ops
+from styletts_zs_tpu.ops import stft as stft_ops
+from styletts_zs_tpu.utils.config import AudioConfig
+
+
+def _rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+        * scale)
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def test_local_attention_pallas_matches_twin():
+    B, T, H, D = 2, 256, 4, 32
+    chunk = 64
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    ref = attn_ops.local_attention(q, k, v, chunk=chunk)
+    out = attention_kernel.local_attention_pallas(q, k, v, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_local_attention_pallas_masked():
+    B, T, H, D = 2, 192, 2, 16
+    chunk = 64
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    kv_mask = attn_ops.length_mask(jnp.array([150, 192]), T)
+    ref = attn_ops.local_attention(q, k, v, chunk=chunk, kv_mask=kv_mask)
+    out = attention_kernel.local_attention_pallas(q, k, v, chunk=chunk,
+                                                  kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_full_attention_pallas_matches_twin():
+    B, Tq, Tk, H, D = 2, 128, 48, 4, 32
+    q = _rand((B, Tq, H, D), 0)
+    k = _rand((B, Tk, H, D), 1)
+    v = _rand((B, Tk, H, D), 2)
+    kv_mask = attn_ops.length_mask(jnp.array([40, 48]), Tk)
+    ref = attn_ops.cross_attention(q, k, v, kv_mask=kv_mask)
+    out = attention_kernel.full_attention_pallas(q, k, v, kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused AdaIN conv block
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dilation", [1, 3])
+@pytest.mark.parametrize("tv_style", [False, True])
+def test_adain_conv_block_pallas_matches_twin(dilation, tv_style):
+    B, T, C, K = 2, 96, 16, 5
+    x = _rand((B, T, C), 0)
+    if tv_style:
+        scale = _rand((B, T, 2 * C), 1, 0.2)
+        shift = _rand((B, T, 2 * C), 2, 0.2)
+    else:
+        scale = _rand((B, 2 * C), 1, 0.2)
+        shift = _rand((B, 2 * C), 2, 0.2)
+    k1 = _rand((K, C, C), 3, 0.1)
+    k2 = _rand((K, C, C), 4, 0.1)
+    ref = dispatch.adain_conv_block(x, scale, shift, k1, k2,
+                                    dilation=dilation, use_pallas=False)
+    out = decoder_kernels.adain_conv_block_pallas(x, scale, shift, k1, k2,
+                                                  dilation=dilation)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_adain_conv_block_blocking_boundaries():
+    """T spanning multiple kernel blocks with remainder."""
+    B, T, C, K = 1, 300, 8, 3
+    x = _rand((B, T, C), 0)
+    scale = _rand((B, T, 2 * C), 1, 0.2)
+    shift = _rand((B, T, 2 * C), 2, 0.2)
+    k1 = _rand((K, C, C), 3, 0.1)
+    k2 = _rand((K, C, C), 4, 0.1)
+    ref = dispatch.adain_conv_block(x, scale, shift, k1, k2, dilation=9,
+                                    use_pallas=False)
+    out = decoder_kernels.adain_conv_block_pallas(x, scale, shift, k1, k2,
+                                                  dilation=9)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# vocoder kernels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("stride,K", [(5, 10), (3, 6), (5, 11), (2, 4)])
+def test_conv_transpose_pallas_matches_twin(stride, K):
+    B, T, Cin, Cout = 2, 40, 8, 16
+    x = _rand((B, T, Cin), 0)
+    kernel = _rand((K, Cin, Cout), 1, 0.2)
+    ref = conv_ops.conv_transpose1d(x, kernel, stride=stride)
+    out = vocoder_kernels.conv_transpose1d_pallas(x, kernel, stride=stride)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_istft_pallas_matches_twin():
+    n_fft, hop = 16, 4
+    B, F = 2, 100
+    n_freq = n_fft // 2 + 1
+    real = _rand((B, F, n_freq), 0)
+    imag = _rand((B, F, n_freq), 1)
+    cfg = AudioConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop)
+    ref = stft_ops.istft(real, imag, cfg, center=True)
+    out = vocoder_kernels.istft_pallas(real, imag, n_fft=n_fft, hop=hop)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_dispatch_switch_equivalence():
+    """One switch, two backends (SURVEY.md §2.3)."""
+    B, T, H, D = 1, 128, 2, 16
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    a = dispatch.local_attention(q, k, v, chunk=32, use_pallas=False)
+    b = dispatch.local_attention(q, k, v, chunk=32, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-5, rtol=2e-5)
