@@ -10,10 +10,10 @@ modules (stagewise training, SURVEY.md §3.3).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional
 
 import flax.linen as nn
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -27,8 +27,10 @@ from styletts_zs_tpu.ops.attention import length_mask
 from styletts_zs_tpu.utils.config import ModelConfig
 
 
-@dataclass
+@flax.struct.dataclass
 class AcousticOutput:
+    """Pytree output of the synthesis path (jit-returnable)."""
+
     mel: jax.Array               # (B, T_frames, n_mels)
     hidden: jax.Array            # (B, T_frames, dim) decoder features
     log_dur: jax.Array           # (B, T_text) predicted log1p durations
@@ -140,6 +142,16 @@ class StyleTTSZS(nn.Module):
     def __call__(self, phoneme_ids, style, *, text_mask=None):
         """Init-friendly entry: the config-1 deterministic path."""
         return self.text_to_mel(phoneme_ids, style, text_mask=text_mask)
+
+    def quantize_style(self, style: jax.Array) -> jax.Array:
+        """Project sampled continuous style onto the discrete FSQ lattice.
+
+        Inference path (SURVEY.md §3.1 "quantize → style codes"): the
+        diffusion sampler emits continuous (B, K, d_style) vectors; this maps
+        them to the nearest discrete style code and back to decoder space.
+        """
+        quantized, _, _ = self.quantizer(style)
+        return quantized
 
     def init_all(self, phoneme_ids, mel_gt, ref_mel, durations):
         """Touches every submodule so ``init`` creates the full param tree."""

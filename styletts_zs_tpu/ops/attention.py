@@ -61,9 +61,14 @@ def local_attention(q, k, v, *, chunk: int,
     """Chunk-local attention, O(T·3W): gather [prev|self|next] key chunks.
 
     Self-attention only (t_q == t_k, multiple of ``chunk``).  Matches
-    ``local_attention_reference`` exactly (same softmax, fp32).
+    ``local_attention_reference`` exactly (same softmax, fp32).  When the
+    sequence fits in one chunk the band covers everything — plain full
+    attention (used at init time and for short utterances).
     """
     B, T, H, D = q.shape
+    if T <= chunk:
+        mask = None if kv_mask is None else kv_mask[:, None, None, :]
+        return mha(q, k, v, mask=mask)
     assert T % chunk == 0, f"T={T} not a multiple of chunk={chunk}"
     n = T // chunk
     scale = D ** -0.5

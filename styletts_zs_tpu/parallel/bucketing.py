@@ -1,0 +1,87 @@
+"""Length bucketing for serving and training batches.
+
+``BASELINE.json:11``: "4096-utterance mixed-speaker batch, length-bucketed
+data-parallel".  Static shapes are a hard XLA requirement, so utterances are
+rounded up to a small set of frame buckets (one compiled program per bucket),
+and hosts exchange bucket histograms (all_gather, SURVEY.md §5.8) before
+dispatch so every host processes the same bucket sequence — avoiding
+collective deadlocks and straggler skew (SURVEY.md §7.2 item 6).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# Default frame buckets: 80 frames/s at hop 300 / 24 kHz.
+DEFAULT_FRAME_BUCKETS = (256, 512, 1024, 2048, 4864)  # up to ~60 s
+DEFAULT_TEXT_BUCKETS = (64, 128, 256, 512)
+
+
+def bucket_for(length: int, buckets: tuple[int, ...]) -> int:
+    """Smallest bucket >= length (last bucket if none fits — caller clips)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def bucket_histogram(lengths: np.ndarray,
+                     buckets: tuple[int, ...] = DEFAULT_FRAME_BUCKETS) -> np.ndarray:
+    """Counts per bucket — the per-host metadata exchanged via all_gather."""
+    hist = np.zeros((len(buckets),), np.int32)
+    for L in lengths:
+        for i, b in enumerate(buckets):
+            if L <= b:
+                hist[i] += 1
+                break
+        else:
+            hist[-1] += 1
+    return hist
+
+
+@dataclass
+class BucketPlan:
+    """A deterministic global schedule of (bucket, batch) work items."""
+    buckets: tuple[int, ...]
+    batches_per_bucket: dict[int, int]
+
+    @property
+    def total_batches(self) -> int:
+        return sum(self.batches_per_bucket.values())
+
+
+def plan_buckets(global_hist: np.ndarray, batch_size: int,
+                 buckets: tuple[int, ...] = DEFAULT_FRAME_BUCKETS) -> BucketPlan:
+    """Build the global bucket schedule from the summed histogram.
+
+    global_hist: (n_buckets,) summed over hosts (after all_gather).  Every
+    host derives the identical plan, so the compiled-program sequence (and
+    therefore the collective schedule) is host-uniform.
+    """
+    batches = {}
+    for i, b in enumerate(buckets):
+        n = int(global_hist[i])
+        if n:
+            batches[b] = -(-n // batch_size)
+    return BucketPlan(buckets=buckets, batches_per_bucket=batches)
+
+
+def assign_to_buckets(lengths: np.ndarray,
+                      buckets: tuple[int, ...] = DEFAULT_FRAME_BUCKETS):
+    """Group utterance indices by bucket (host-local assembly step)."""
+    groups: dict[int, list[int]] = {b: [] for b in buckets}
+    for idx, L in enumerate(lengths):
+        groups[bucket_for(int(L), buckets)].append(idx)
+    return {b: np.asarray(v, np.int32) for b, v in groups.items() if v}
+
+
+def pad_batch(arrays: list[np.ndarray], target_len: int,
+              pad_value=0) -> np.ndarray:
+    """Stack variable-length (T, ...) arrays into (B, target_len, ...)."""
+    out = []
+    for a in arrays:
+        a = a[:target_len]
+        pad = [(0, target_len - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(a, pad, constant_values=pad_value))
+    return np.stack(out)

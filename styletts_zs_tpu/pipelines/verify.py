@@ -1,0 +1,101 @@
+"""Numerics verification gate: backend/Pallas paths vs the fp32 XLA golden.
+
+"mel/waveform outputs allclose to the reference implementation"
+(``BASELINE.json:5``) — §0 of SURVEY.md establishes the golden IS our own
+fp32 no-Pallas path (acceptance config 1, ``BASELINE.json:7``).  This module
+runs the config-1 program under (a) fp32 XLA twins [golden], (b) fp32 +
+Pallas kernels, (c) bf16 + Pallas kernels, with identical fp32 params and
+GOLDEN durations fed to all runs (the duration comparison is reported
+separately, since a single rounding flip would desynchronize frames).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts_zs_tpu.models.tts import StyleTTSZS
+from styletts_zs_tpu.models.vocoder import Vocoder
+from styletts_zs_tpu.ops.attention import length_mask
+from styletts_zs_tpu.pipelines.factory import build_models, init_params
+from styletts_zs_tpu.utils.config import (Config, ModelConfig, RuntimeConfig,
+                                          replace)
+
+
+def _run(cfg: Config, params, phonemes, text_lengths, style, durations,
+         n_frames: int):
+    acoustic, _, vocoder, _ = build_models(cfg)
+    text_mask = length_mask(text_lengths, phonemes.shape[1])
+
+    @jax.jit
+    def fn(params, phonemes, style, durations):
+        out = acoustic.apply(params["acoustic"], phonemes, style,
+                             text_mask=text_mask, durations=durations,
+                             n_frames=n_frames,
+                             method=StyleTTSZS.text_to_mel)
+        wav = vocoder.apply(params["vocoder"], out.mel, mask=out.frame_mask)
+        return out, wav
+
+    out, wav = fn(params, phonemes, style, durations)
+    return out, wav
+
+
+def run_verification(*, max_frames: int = 256, batch: int = 1,
+                     seed: int = 0) -> dict:
+    base_model = ModelConfig(max_text_len=64, max_frames=max_frames)
+    golden_cfg = Config(model=base_model,
+                        runtime=RuntimeConfig(compute_dtype="float32",
+                                              use_pallas=False))
+    params = init_params(golden_cfg, jax.random.PRNGKey(seed))
+
+    rng = jax.random.PRNGKey(seed + 1)
+    phonemes = jax.random.randint(rng, (batch, 64), 1, 40)
+    text_lengths = jnp.full((batch,), 64, jnp.int32)
+    style = (jax.random.normal(rng, (batch, base_model.style.n_codes,
+                                     base_model.style.d_style)) * 0.3)
+
+    with jax.default_matmul_precision("highest"):
+        # golden pass also fixes the durations every other run consumes
+        acoustic, _, _, _ = build_models(golden_cfg)
+        text_mask = length_mask(text_lengths, 64)
+        g_out = acoustic.apply(params["acoustic"], phonemes, style,
+                               text_mask=text_mask, n_frames=max_frames,
+                               method=StyleTTSZS.text_to_mel)
+        durations = g_out.durations
+        golden_out, golden_wav = _run(golden_cfg, params, phonemes,
+                                      text_lengths, style, durations,
+                                      max_frames)
+
+    report = {"backend": jax.default_backend(),
+              "n_frames": int(max_frames), "batch": int(batch)}
+
+    variants = {
+        "fp32_pallas": RuntimeConfig(compute_dtype="float32", use_pallas=True),
+        "bf16_pallas": RuntimeConfig(compute_dtype="bfloat16", use_pallas=True),
+        "bf16_xla": RuntimeConfig(compute_dtype="bfloat16", use_pallas=False),
+    }
+    mel_g = np.asarray(golden_out.mel, np.float32)
+    wav_g = np.asarray(golden_wav, np.float32)
+    mask = np.asarray(golden_out.frame_mask)[..., None]
+
+    for name, rt in variants.items():
+        cfg_v = Config(model=base_model, runtime=rt)
+        out_v, wav_v = _run(cfg_v, params, phonemes, text_lengths, style,
+                            durations, max_frames)
+        mel_v = np.asarray(out_v.mel, np.float32)
+        wav_v = np.asarray(wav_v, np.float32)
+        mel_mae = float(np.abs((mel_v - mel_g) * mask).sum()
+                        / np.maximum(mask.sum() * mel_g.shape[-1], 1))
+        report[name] = {
+            "mel_mae": mel_mae,
+            "mel_max": float(np.abs(mel_v - mel_g).max()),
+            "wav_mae": float(np.abs(wav_v - wav_g).mean()),
+            "dur_match": float(np.mean(np.asarray(out_v.durations)
+                                       == np.asarray(durations))),
+        }
+    # gates: fp32 paths tight, bf16 loose (SURVEY.md §4.2)
+    report["pass_fp32"] = bool(report["fp32_pallas"]["mel_mae"] < 1e-3)
+    report["pass_bf16"] = bool(report["bf16_pallas"]["mel_mae"] < 1e-1)
+    return report

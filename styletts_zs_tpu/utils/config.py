@@ -202,10 +202,24 @@ class TrainConfig:
 
 
 @dataclass(frozen=True)
+class ServeConfig:
+    """Inference/serving knobs (acceptance configs 2-5, BASELINE.json:8-11)."""
+
+    batch_size: int = 8
+    one_step: bool = True          # distilled path; False = multi-step
+    n_steps: int = 16
+    guidance: float = 3.0
+    with_vocoder: bool = True
+    frame_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4864)
+    max_global_batch: int = 4096   # pod-scale mixed-speaker batch
+
+
+@dataclass(frozen=True)
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
     name: str = "styletts_zs_tpu"
 
 
@@ -232,7 +246,7 @@ _TYPE_REGISTRY = {
         AudioConfig, TextEncoderConfig, ProsodyEncoderConfig, StyleConfig,
         PromptEncoderConfig, PredictorConfig, DecoderConfig, DiffusionConfig,
         VocoderConfig, DiscriminatorConfig, ModelConfig, RuntimeConfig,
-        TrainConfig, Config,
+        TrainConfig, ServeConfig, Config,
     )
 }
 

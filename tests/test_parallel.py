@@ -1,0 +1,99 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md §4.2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from styletts_zs_tpu.parallel import bucketing, mesh as mesh_lib
+from styletts_zs_tpu.parallel.sharding import param_shardings
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_mesh_shapes():
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = mesh_lib.make_mesh()
+    assert mesh1.shape["data"] == 8
+
+
+def test_sharded_loss_equals_single_device():
+    """DP correctness: mean loss on a sharded batch == unsharded loss."""
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((16, 16)),
+                    jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((32, 16)),
+                    jnp.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    ref = jax.jit(loss)(w, x)
+    xs = jax.device_put(x, mesh_lib.batch_sharding(mesh))
+    ws = jax.device_put(w, mesh_lib.replicated(mesh))
+    out = jax.jit(loss)(ws, xs)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
+
+
+def test_grad_psum_equivalence():
+    """Sharded-batch gradients equal single-device gradients (DP semantics)."""
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8)),
+                    jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((16, 8)),
+                    jnp.float32)
+    g_ref = jax.jit(jax.grad(lambda w: jnp.mean((x @ w) ** 2)))(w)
+    xs = jax.device_put(x, mesh_lib.batch_sharding(mesh))
+    ws = jax.device_put(w, mesh_lib.replicated(mesh))
+    g = jax.jit(jax.grad(lambda w: jnp.mean((xs @ w) ** 2)))(ws)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-6)
+
+
+def test_param_sharding_rules():
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    params = {
+        "big_kernel": jnp.zeros((512, 512)),   # shardable: 512 % 256 == 0
+        "small": jnp.zeros((16, 16)),
+        "bias": jnp.zeros((512,)),
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["big_kernel"].spec == P(None, mesh_lib.MODEL_AXIS)
+    assert sh["small"].spec == P()
+    assert sh["bias"].spec == P()
+
+
+def test_metadata_all_gather_shard_map():
+    """Length-bucket histogram exchange (BASELINE.json:5 metadata collective)."""
+    from jax.experimental.shard_map import shard_map
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    lengths = jnp.arange(16, dtype=jnp.int32) * 40  # 0..600
+    ls = jax.device_put(lengths, mesh_lib.batch_sharding(mesh))
+
+    def hist_fn(ls):
+        h = jnp.stack([jnp.sum(ls <= 256), jnp.sum(ls > 256)])
+        return jax.lax.all_gather(h, mesh_lib.DATA_AXIS)
+
+    out = jax.jit(shard_map(hist_fn, mesh=mesh, in_specs=P(mesh_lib.DATA_AXIS),
+                            out_specs=P(mesh_lib.DATA_AXIS)))(ls)
+    # out stacks each shard's gathered (8, 2) copy -> (64, 2); every copy
+    # holds all hosts' local histograms
+    gathered = np.asarray(out).reshape(8, 8, 2)
+    total = gathered[0].sum(0)
+    assert total.sum() == 16
+    assert total[0] == int(np.sum(np.asarray(lengths) <= 256))
+    # every shard saw the identical gathered metadata
+    assert (gathered == gathered[0]).all()
+
+
+def test_bucketing_plan():
+    lengths = np.array([100, 200, 300, 600, 1500, 5000])
+    hist = bucketing.bucket_histogram(lengths)
+    plan = bucketing.plan_buckets(hist, batch_size=2)
+    assert plan.total_batches >= 3
+    groups = bucketing.assign_to_buckets(lengths)
+    assert sum(len(v) for v in groups.values()) == len(lengths)
+    batch = bucketing.pad_batch([np.ones((3, 2)), np.ones((5, 2))], 8)
+    assert batch.shape == (2, 8, 2)

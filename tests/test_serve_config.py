@@ -1,0 +1,61 @@
+"""Serving pipeline + config loading tests."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from styletts_zs_tpu.pipelines.factory import init_params
+from styletts_zs_tpu.pipelines.serve import Request, Server
+from styletts_zs_tpu.utils import text as text_utils
+from styletts_zs_tpu.utils.config import load_config, replace, tiny_test_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+@pytest.mark.parametrize("name", ["cpu_ref", "zs_batch8", "multistep_b32",
+                                  "longform_60s", "pod_v5e16"])
+def test_acceptance_configs_load(name):
+    cfg = load_config(os.path.join(CONFIG_DIR, f"{name}.toml"))
+    assert cfg.name == name
+    # invariant: vocoder total upsampling == audio hop
+    up = 1
+    for r in cfg.model.vocoder.upsample_rates:
+        up *= r
+    assert up * cfg.model.vocoder.istft_hop == cfg.model.audio.hop_length
+
+
+def test_serve_bucketed_batches():
+    cfg = tiny_test_config()
+    cfg = replace(cfg, serve=replace(cfg.serve, batch_size=2,
+                                     frame_buckets=(64, 128),
+                                     with_vocoder=False, one_step=True))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    server = Server(cfg, params)
+    rng = np.random.default_rng(0)
+    reqs = [
+        Request(uid=i,
+                phonemes=np.asarray(text_utils.text_to_ids("hello there"),
+                                    np.int32),
+                ref_wav=rng.standard_normal(8000).astype(np.float32) * 0.1,
+                est_frames=50 if i < 3 else 100)
+        for i in range(5)
+    ]
+    results = server.serve_batch(reqs)
+    assert len(results) == 5
+    uids = sorted(r.uid for r in results)
+    assert uids == [0, 1, 2, 3, 4]
+    for r in results:
+        assert r.mel.ndim == 2 and np.isfinite(r.mel).all()
+    assert not server.requeued
+
+
+def test_text_frontend():
+    ids = text_utils.text_to_ids("ab c")
+    assert ids[0] == text_utils.BOS_ID and ids[-1] == text_utils.EOS_ID
+    assert len(ids) == 6
+    ph = text_utils.phonemes_to_ids(["HH", "AH", "L", "OW"])
+    assert all(i != text_utils.UNK_ID for i in ph)
+    padded = text_utils.pad_ids(ids, 10)
+    assert len(padded) == 10 and padded[-1] == text_utils.PAD_ID
+    assert text_utils.VOCAB_SIZE < 192  # fits the model vocab default

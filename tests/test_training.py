@@ -1,0 +1,57 @@
+"""Training-dynamics smoke tests (SURVEY.md §4.2): loss decreases, no NaNs."""
+import jax
+import numpy as np
+import pytest
+
+from styletts_zs_tpu.pipelines import train as T
+from styletts_zs_tpu.pipelines.data import SyntheticDataset
+from styletts_zs_tpu.pipelines.factory import init_params
+from styletts_zs_tpu.utils.config import replace, tiny_test_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), with_discriminator=True)
+    ds = SyntheticDataset(cfg.model, batch_size=2, seed=0, n_frames=64,
+                          text_len=16)
+    batch = T.batch_to_device(ds.next_batch())
+    return cfg, params, batch
+
+
+def test_stage1_overfit_smoke(setup):
+    cfg, params, batch = setup
+    tr = T.Stage1Trainer(cfg)
+    state = tr.init_state(params)
+    losses = []
+    for i in range(8):
+        state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["mel"]))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite at step {i}"
+    assert losses[-1] < losses[0], f"mel loss did not decrease: {losses}"
+
+
+def test_stage2_diffusion_step(setup):
+    cfg, params, batch = setup
+    tr = T.Stage2Trainer(cfg)
+    state = tr.init_state(params["diffusion"])
+    l0 = None
+    for i in range(4):
+        state, aux = tr.train_step(state, params["acoustic"], batch,
+                                   jax.random.PRNGKey(i))
+        assert np.isfinite(float(aux["diff"]))
+        if l0 is None:
+            l0 = float(aux["diff"])
+    assert int(state["step"]) == 4
+
+
+def test_stage3_distill_step(setup):
+    cfg, params, batch = setup
+    tr = T.Stage3Trainer(cfg, n_teacher_steps=2)
+    state = tr.init_state(params["diffusion"])
+    state, aux = tr.train_step(state, params["diffusion"],
+                               params["acoustic"], batch,
+                               jax.random.PRNGKey(0))
+    for k in ("latent", "perceptual"):
+        assert np.isfinite(float(aux[k]))
