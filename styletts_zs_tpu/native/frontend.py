@@ -1,0 +1,83 @@
+"""ctypes bridge to the native host frontend (libstz_frontend.so).
+
+Builds on first use if the shared object is missing (g++ is baked into the
+image); every entry point has a numpy fallback in utils/audio.py, so the
+framework works without the native build — just slower on host-side prep.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libstz_frontend.so")
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.stz_n_frames.restype = ctypes.c_int64
+    lib.stz_n_frames.argtypes = [ctypes.c_int64, ctypes.c_int32,
+                                 ctypes.c_int32]
+    lib.stz_frame_energy.restype = None
+    lib.stz_frame_energy.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float)]
+    lib.stz_estimate_f0.restype = None
+    lib.stz_estimate_f0.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8)]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def estimate_f0(wav: np.ndarray, sample_rate: int, *, hop: int = 300,
+                frame_length: int = 1200, fmin: float = 60.0,
+                fmax: float = 400.0, threshold: float = 0.1):
+    lib = _load()
+    wav = np.ascontiguousarray(wav, np.float32)
+    n_frames = lib.stz_n_frames(len(wav), frame_length, hop)
+    f0 = np.zeros(n_frames, np.float32)
+    voiced = np.zeros(n_frames, np.uint8)
+    lib.stz_estimate_f0(
+        _fptr(wav), len(wav), sample_rate, hop, frame_length, fmin, fmax,
+        threshold, _fptr(f0),
+        voiced.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return f0, voiced.astype(bool)
+
+
+def frame_energy(wav: np.ndarray, *, hop: int = 300,
+                 frame_length: int = 1200) -> np.ndarray:
+    lib = _load()
+    wav = np.ascontiguousarray(wav, np.float32)
+    n_frames = lib.stz_n_frames(len(wav), frame_length, hop)
+    out = np.zeros(n_frames, np.float32)
+    lib.stz_frame_energy(_fptr(wav), len(wav), frame_length, hop, _fptr(out))
+    return out
