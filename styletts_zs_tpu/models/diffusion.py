@@ -174,17 +174,22 @@ class StyleDiffusion(nn.Module):
     # sampling
     # ------------------------------------------------------------------
 
-    def _cfg_denoise(self, x, sigma_scalar, ctx2, ctx_mask2, summary2,
-                     guidance: float):
+    def _denoise_pair(self, x, sigma_scalar, ctx2, ctx_mask2, summary2):
         """One CFG-doubled denoiser call (fused batch, BASELINE.json:5).
 
         x: (B, K, d); the doubled tensors stack [cond | uncond] on batch.
+        Returns (d_cond, d_uncond).
         """
         B = x.shape[0]
         x2 = jnp.concatenate([x, x], axis=0)
         sig2 = jnp.full((2 * B,), sigma_scalar, jnp.float32)
         den2 = self.denoiser(x2, sig2, ctx2, ctx_mask2, summary2)
-        d_cond, d_uncond = den2[:B], den2[B:]
+        return den2[:B], den2[B:]
+
+    def _cfg_denoise(self, x, sigma_scalar, ctx2, ctx_mask2, summary2,
+                     guidance: float):
+        d_cond, d_uncond = self._denoise_pair(x, sigma_scalar, ctx2,
+                                              ctx_mask2, summary2)
         return d_uncond + guidance * (d_cond - d_uncond)
 
     def sample(self, rng, text_enc, prompt_tokens, prompt_summary, *,
@@ -214,16 +219,32 @@ class StyleDiffusion(nn.Module):
         sigmas = jnp.asarray(karras_sigmas(c, n_steps))
         x = jax.random.normal(rng, (B, K, d), jnp.float32) * sigmas[0]
 
+        use_fused = self.use_pallas
+        g = float(guidance)
+
         def heun_step(x, i):
             s_cur, s_next = sigmas[i], sigmas[i + 1]
-            den = self._cfg_denoise(x, s_cur, ctx2, ctx_mask2, summary2,
-                                    guidance)
-            d_cur = (x - den) / s_cur
-            x_euler = x + (s_next - s_cur) * d_cur
+            dc, du = self._denoise_pair(x, s_cur, ctx2, ctx_mask2, summary2)
+            if use_fused:
+                # fused guidance + score + Euler update (sampler-step kernel)
+                from styletts_zs_tpu.kernels import sampler_kernel
+                x_euler, d_cur = sampler_kernel.fused_euler_step(
+                    x, dc, du, s_cur, s_next, guidance=g)
+            else:
+                den = du + g * (dc - du)
+                d_cur = (x - den) / s_cur
+                x_euler = x + (s_next - s_cur) * d_cur
+
             # 2nd-order correction (skipped on final step where s_next = 0)
             def correct(_):
-                den2 = self._cfg_denoise(x_euler, s_next, ctx2, ctx_mask2,
-                                         summary2, guidance)
+                dc2, du2 = self._denoise_pair(x_euler, s_next, ctx2,
+                                              ctx_mask2, summary2)
+                if use_fused:
+                    from styletts_zs_tpu.kernels import sampler_kernel
+                    return sampler_kernel.fused_heun_correction(
+                        x, x_euler, dc2, du2, d_cur, s_cur, s_next,
+                        guidance=g)
+                den2 = du2 + g * (dc2 - du2)
                 d_next = (x_euler - den2) / jnp.maximum(s_next, 1e-8)
                 return x + (s_next - s_cur) * 0.5 * (d_cur + d_next)
             x_new = jax.lax.cond(s_next > 0, correct, lambda _: x_euler,

@@ -136,3 +136,32 @@ def test_dispatch_switch_equivalence():
     b = dispatch.local_attention(q, k, v, chunk=32, use_pallas=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_sampler_pallas_path_matches_xla():
+    """Full multi-step sampler: Pallas kernels vs XLA twins end-to-end."""
+    import jax
+    from styletts_zs_tpu.models.diffusion import StyleDiffusion
+    from styletts_zs_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config().model
+    rng = jax.random.PRNGKey(0)
+    B, Tt = 2, 16
+    target = jax.random.normal(rng, (B, cfg.style.n_codes, cfg.style.d_style))
+    text_enc = jax.random.normal(rng, (B, Tt, cfg.text_encoder.dim))
+    tokens = jax.random.normal(rng, (B, 4, cfg.text_encoder.dim))
+    summary = jax.random.normal(rng, (B, cfg.text_encoder.dim))
+
+    m_xla = StyleDiffusion(cfg.diffusion, cfg.style,
+                           ctx_dim=cfg.text_encoder.dim, use_pallas=False)
+    m_pls = StyleDiffusion(cfg.diffusion, cfg.style,
+                           ctx_dim=cfg.text_encoder.dim, use_pallas=True)
+    params = m_xla.init(rng, target, text_enc, tokens, summary,
+                        jax.random.PRNGKey(1),
+                        method=StyleDiffusion.init_all)
+    a = m_xla.apply(params, jax.random.PRNGKey(2), text_enc, tokens, summary,
+                    n_steps=3, method=StyleDiffusion.sample)
+    b = m_pls.apply(params, jax.random.PRNGKey(2), text_enc, tokens, summary,
+                    n_steps=3, method=StyleDiffusion.sample)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-4, rtol=1e-3)
