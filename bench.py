@@ -16,6 +16,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from styletts_zs_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from styletts_zs_tpu.pipelines.factory import init_params
     from styletts_zs_tpu.pipelines.infer import make_synthesis_fn
     from styletts_zs_tpu.utils.config import (Config, ModelConfig,
@@ -58,9 +60,9 @@ def main():
     jax.block_until_ready(wav)
     dt = (time.perf_counter() - t0) / iters
 
-    # audio seconds actually synthesized (per predicted lengths, capped)
-    frame_lengths = jax.device_get(out.frame_lengths)
-    audio_s = float(frame_lengths.sum()) * m.audio.hop_length / m.audio.sample_rate
+    # audio seconds synthesized per call = emitted waveform duration x batch
+    # (static per bucket; predicted lengths are meaningless at random init)
+    audio_s = batch * wav.shape[1] / m.audio.sample_rate
     audio_s_per_s = audio_s / dt
 
     print(json.dumps({

@@ -214,7 +214,9 @@ def _istft_basis(n_fft: int, hop: int):
         Wm[:, : j1 - j0] = syn[:, j0:j1]
         blocks.append(Wm)
     w_cat = np.concatenate(blocks, axis=0)             # (M*2F, hop)
-    return jnp.asarray(w_cat), M
+    # cache numpy, not jax arrays: a jnp constant created inside a trace is
+    # a tracer, and caching it would leak out of the transformation scope
+    return w_cat, M
 
 
 @functools.lru_cache(maxsize=32)
@@ -227,7 +229,7 @@ def _istft_env(n_fft: int, hop: int, F: int, out_len: int):
         end = min(t * hop + win, out_len)
         env[t * hop: end] += w2[: end - t * hop]
     env = np.maximum(env, 1e-8)
-    return jnp.asarray(env.astype(np.float32))
+    return env.astype(np.float32)
 
 
 def istft_pallas(real, imag, *, n_fft: int, hop: int):
@@ -236,7 +238,8 @@ def istft_pallas(real, imag, *, n_fft: int, hop: int):
     real/imag: (B, F, n_freq) -> wav (B, (F-1)*hop), centered trim.
     """
     B, F, n_freq = real.shape
-    w_cat, M = _istft_basis(n_fft, hop)
+    w_cat_np, M = _istft_basis(n_fft, hop)
+    w_cat = jnp.asarray(w_cat_np)
     spec = jnp.concatenate([real, imag], axis=-1).astype(jnp.float32)
     # extra zero frames so the block outputs cover the centered-trim region
     start = n_fft // 2
@@ -246,6 +249,6 @@ def istft_pallas(real, imag, *, n_fft: int, hop: int):
     Fp = F + extra
     ola = _shift_matmul(spec, w_cat, r=hop, n_shift=M, left=M - 1, right=0,
                         block_t=512)[..., 0]           # (B, Fp*hop)
-    env = _istft_env(n_fft, hop, F, Fp * hop)
+    env = jnp.asarray(_istft_env(n_fft, hop, F, Fp * hop))
     wav = ola / env[None, :]
     return jax.lax.dynamic_slice_in_dim(wav, start, (F - 1) * hop, axis=1)

@@ -67,6 +67,8 @@ class StyleTTSZS(nn.Module):
         self.prosody_predictor = ProsodyPredictor(c.predictor, dtype=self.dtype)
         self.decoder = MelDecoder(c.decoder, n_mels=c.audio.n_mels,
                                   use_pallas=self.use_pallas, dtype=self.dtype)
+        self.align_mel_proj = nn.Dense(128, dtype=self.dtype)
+        self.align_text_proj = nn.Dense(128, dtype=self.dtype)
 
     # ------------------------------------------------------------------
     # pieces
@@ -143,6 +145,24 @@ class StyleTTSZS(nn.Module):
         """Init-friendly entry: the config-1 deterministic path."""
         return self.text_to_mel(phoneme_ids, style, text_mask=text_mask)
 
+    def align_energies(self, text_enc: jax.Array, mel: jax.Array,
+                       *, text_mask=None) -> jax.Array:
+        """Alignment energies (B, T_frames, T_text) for the built-in aligner.
+
+        Scaled dot-product between projected mel frames and text encodings;
+        consumed by ``ops.align.forward_sum_loss`` (training objective) and
+        ``ops.align.monotonic_alignment_search`` (hard duration targets).
+        Self-contained replacement for an external forced aligner
+        (SURVEY.md §7.0/§7.2-4).
+        """
+        q = self.align_mel_proj(mel)
+        k = self.align_text_proj(text_enc)
+        energies = jnp.einsum("bfd,btd->bft", q, k,
+                              preferred_element_type=jnp.float32) * (128 ** -0.5)
+        if text_mask is not None:
+            energies = jnp.where(text_mask[:, None, :], energies, -1e9)
+        return energies
+
     def quantize_style(self, style: jax.Array) -> jax.Array:
         """Project sampled continuous style onto the discrete FSQ lattice.
 
@@ -157,6 +177,9 @@ class StyleTTSZS(nn.Module):
         """Touches every submodule so ``init`` creates the full param tree."""
         out, _, _ = self.reconstruct(phoneme_ids, mel_gt, durations)
         tokens, _ = self.encode_prompt(ref_mel)
+        text_enc, _ = self.encode_text(
+            phoneme_ids, jnp.ones(phoneme_ids.shape, bool))
+        _ = self.align_energies(text_enc, mel_gt)
         return out.mel
 
     # ------------------------------------------------------------------

@@ -129,3 +129,62 @@ class SyntheticDataset:
                      mel=np.zeros((B, Tf, a.n_mels), np.float32),
                      wav=wavs, f0=f0s, energy=ens, frame_lengths=flens,
                      ref_wav=refs)
+
+
+# ---------------------------------------------------------------------------
+# grain input pipeline (SURVEY.md §3.3 "grain data loader": per-host sharded,
+# deterministic, multi-worker host-side preprocessing)
+# ---------------------------------------------------------------------------
+
+class SyntheticDataSource:
+    """grain RandomAccessDataSource: index -> one deterministic utterance."""
+
+    def __init__(self, cfg: ModelConfig, *, n_items: int = 100000,
+                 n_frames: int = 256, text_len: int = 48, seed: int = 0):
+        self.cfg = cfg
+        self.n_items = n_items
+        self.n_frames = n_frames
+        self.text_len = text_len
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    def __getitem__(self, idx):
+        ds = SyntheticDataset(self.cfg, batch_size=1,
+                              seed=self.seed * 1000003 + int(idx),
+                              n_frames=self.n_frames, text_len=self.text_len)
+        b = ds.next_batch()
+        return {
+            "phonemes": b.phonemes[0], "text_lengths": b.text_lengths[0],
+            "durations": b.durations[0], "wav": b.wav[0], "f0": b.f0[0],
+            "energy": b.energy[0], "frame_lengths": b.frame_lengths[0],
+            "ref_wav": b.ref_wav[0],
+        }
+
+
+def make_grain_loader(cfg: ModelConfig, *, batch_size: int,
+                      n_frames: int = 256, text_len: int = 48, seed: int = 0,
+                      worker_count: int = 0, shard_index: int = 0,
+                      shard_count: int = 1, n_items: int = 100000):
+    """Per-host sharded grain DataLoader yielding collated numpy batches.
+
+    On a pod each host passes its (process_index, process_count) as the
+    shard so hosts stream disjoint data (SURVEY.md §3.3 'per-host batch
+    shard').
+    """
+    import grain.python as gp
+
+    source = SyntheticDataSource(cfg, n_items=n_items, n_frames=n_frames,
+                                 text_len=text_len, seed=seed)
+    sampler = gp.IndexSampler(
+        num_records=len(source), shuffle=True, seed=seed,
+        shard_options=gp.ShardOptions(shard_index=shard_index,
+                                      shard_count=shard_count,
+                                      drop_remainder=True),
+        num_epochs=None)
+    loader = gp.DataLoader(
+        data_source=source, sampler=sampler,
+        operations=[gp.Batch(batch_size=batch_size, drop_remainder=True)],
+        worker_count=worker_count)
+    return loader

@@ -25,6 +25,7 @@ from styletts_zs_tpu.models.tts import StyleTTSZS
 from styletts_zs_tpu.models.discriminators import (discriminator_loss,
                                                    feature_matching_loss,
                                                    generator_adv_loss)
+from styletts_zs_tpu.ops import align as align_ops
 from styletts_zs_tpu.ops import stft as stft_ops
 from styletts_zs_tpu.ops.attention import length_mask
 from styletts_zs_tpu.pipelines.factory import build_models
@@ -93,25 +94,45 @@ class Stage1Trainer:
 
     def _forward_g(self, g_params, batch, rng):
         m = self.cfg.model
+        t = self.cfg.train
         mel_gt = stft_ops.mel_spectrogram(batch["wav"], m.audio)
         n_frames = batch["f0"].shape[1]
         mel_gt = mel_gt[:, :n_frames]
         text_mask = length_mask(batch["text_lengths"], batch["phonemes"].shape[1])
         frame_mask = length_mask(batch["frame_lengths"], n_frames)
+
+        # built-in aligner (SURVEY.md §7.2-4): forward-sum objective over
+        # alignment energies; optionally MAS hard durations replace the
+        # dataset's (for corpora without duration annotations)
+        durations = batch["durations"]
+        energies = None
+        if t.w_align > 0 or t.use_mas_durations:
+            def _align(mdl, phonemes, mel, mask):
+                te, _ = mdl.encode_text(phonemes, mask)
+                return mdl.align_energies(te, mel, text_mask=mask)
+            energies = self.acoustic.apply(
+                g_params["acoustic"], batch["phonemes"], mel_gt, text_mask,
+                method=_align)
+            if t.use_mas_durations:
+                durations = jax.lax.stop_gradient(
+                    align_ops.monotonic_alignment_search(
+                        energies, batch["text_lengths"],
+                        batch["frame_lengths"]))
+
         out, codes, styled = self.acoustic.apply(
             g_params["acoustic"], batch["phonemes"], mel_gt,
-            batch["durations"], text_mask=text_mask, frame_mask=frame_mask,
+            durations, text_mask=text_mask, frame_mask=frame_mask,
             f0_target=batch["f0"], energy_target=batch["energy"],
             deterministic=False, rngs={"dropout": rng},
             method=StyleTTSZS.reconstruct)
         wav_hat = self.vocoder.apply(g_params["vocoder"], out.mel,
                                      mask=frame_mask)
-        return out, wav_hat, mel_gt, text_mask, frame_mask
+        return out, wav_hat, mel_gt, text_mask, frame_mask, energies, durations
 
     def g_loss(self, g_params, d_params, batch, rng):
         t = self.cfg.train
-        out, wav_hat, mel_gt, text_mask, frame_mask = self._forward_g(
-            g_params, batch, rng)
+        out, wav_hat, mel_gt, text_mask, frame_mask, energies, durations = (
+            self._forward_g(g_params, batch, rng))
         L = min(wav_hat.shape[1], batch["wav"].shape[1])
         wav_gt = batch["wav"][:, :L]
         wav_fake = wav_hat[:, :L]
@@ -124,7 +145,7 @@ class Stage1Trainer:
         loss_mel = _masked_l1_feat(out.mel, mel_gt, frame_mask)
         loss_adv = generator_adv_loss(fake_lg)
         loss_fm = feature_matching_loss(real_ft, fake_ft)
-        dur_target = jnp.log1p(batch["durations"].astype(jnp.float32))
+        dur_target = jnp.log1p(durations.astype(jnp.float32))
         loss_dur = _masked_l1(out.log_dur, dur_target, text_mask)
         loss_f0 = _masked_l1(out.f0, batch["f0"], frame_mask)
         loss_en = _masked_l1(out.energy, batch["energy"], frame_mask)
@@ -132,12 +153,18 @@ class Stage1Trainer:
         loss = (t.w_mel * loss_mel + t.w_adv * loss_adv + t.w_fm * loss_fm
                 + t.w_dur * loss_dur + t.w_f0 * loss_f0 + t.w_energy * loss_en)
         aux = {"mel": loss_mel, "adv_g": loss_adv, "fm": loss_fm,
-               "dur": loss_dur, "f0": loss_f0, "energy": loss_en,
-               "total_g": loss}
+               "dur": loss_dur, "f0": loss_f0, "energy": loss_en}
+        if energies is not None and t.w_align > 0:
+            log_probs = jax.nn.log_softmax(energies, axis=-1)
+            loss_align = align_ops.forward_sum_loss(
+                log_probs, batch["text_lengths"], batch["frame_lengths"])
+            loss = loss + t.w_align * loss_align
+            aux["align"] = loss_align
+        aux["total_g"] = loss
         return loss, aux
 
     def d_loss(self, d_params, g_params, batch, rng):
-        out, wav_hat, mel_gt, _, frame_mask = self._forward_g(
+        out, wav_hat, mel_gt, _, frame_mask, _, _ = self._forward_g(
             g_params, batch, rng)
         L = min(wav_hat.shape[1], batch["wav"].shape[1])
         wav_gt = batch["wav"][:, :L]

@@ -193,8 +193,9 @@ class TrainConfig:
     w_dur: float = 1.0
     w_f0: float = 0.5
     w_energy: float = 0.5
-    w_commit: float = 0.25
-    w_align: float = 1.0
+    w_commit: float = 0.25   # reserved: FSQ needs no commitment loss
+    w_align: float = 1.0     # forward-sum aligner objective (0 disables)
+    use_mas_durations: bool = False  # MAS durations replace dataset's
     # stage 3 distillation
     w_latent: float = 1.0
     w_perceptual: float = 1.0
