@@ -1,0 +1,146 @@
+"""Acceptance-config integration runs (BASELINE.json:6-12 -> JSON reports).
+
+Each of the five driver acceptance configs becomes a runnable entry point
+(SURVEY.md §4.2 "the five configs become five integration-test entry
+points"):
+
+  1 cpu_ref       mel/wav numerics vs the fp32 golden (pipelines/verify.py)
+  2 zs_batch8     3 s prompt encode + 1-step CFG diffusion -> mel, batch 8
+  3 multistep_b32 full multi-step sampler (CFG doubled batch), batch 32
+  4 longform_60s  decoder + vocoder fused, 60 s chunked attention -> wav
+  5 pod_v5e16     length-bucketed serving (scaled to available devices)
+
+Run: python -m styletts_zs_tpu.cli accept --level 2
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from styletts_zs_tpu.utils.config import (Config, ModelConfig, RuntimeConfig,
+                                          ServeConfig, load_config, replace)
+
+
+def _measure(fn, args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    return out, (time.perf_counter() - t0) / iters
+
+
+def _synth_report(cfg: Config, *, batch: int, one_step: bool,
+                  n_steps: Optional[int], with_vocoder: bool,
+                  n_frames: int) -> dict:
+    from styletts_zs_tpu.pipelines.factory import init_params
+    from styletts_zs_tpu.pipelines.infer import make_synthesis_fn
+
+    m = cfg.model
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_synthesis_fn(cfg, one_step=one_step, n_steps=n_steps,
+                                   with_vocoder=with_vocoder,
+                                   n_frames=n_frames))
+    rng = jax.random.PRNGKey(0)
+    Tt = m.max_text_len
+    ref_frames = 3 * m.audio.sample_rate // m.audio.hop_length
+    args = (params,
+            jax.random.randint(rng, (batch, Tt), 1, 40),
+            jnp.full((batch,), Tt, jnp.int32),
+            jax.random.normal(rng, (batch, ref_frames, m.audio.n_mels)) * 0.5,
+            jnp.full((batch,), ref_frames, jnp.int32),
+            rng)
+    (out, wav), dt = _measure(fn, args)
+    audio_s = (batch * (wav.shape[1] / m.audio.sample_rate) if wav is not None
+               else batch * n_frames * m.audio.hop_length / m.audio.sample_rate)
+    rep = {
+        "batch": batch, "n_frames": n_frames,
+        "one_step": one_step, "with_vocoder": with_vocoder,
+        "wall_s_per_call": round(dt, 4),
+        "audio_s_per_s": round(audio_s / dt, 2),
+        "rtf_target_10x": round(audio_s / dt / 10.0, 3),
+        "mel_finite": bool(np.isfinite(np.asarray(out.mel)).all()),
+    }
+    if wav is not None:
+        rep["wav_finite"] = bool(np.isfinite(np.asarray(wav)).all())
+    return rep
+
+
+def run_acceptance(level: int, *, full_size: Optional[bool] = None) -> dict:
+    """Run acceptance config ``level`` (1-5); returns a JSON-able report."""
+    on_tpu = jax.default_backend() == "tpu"
+    full = on_tpu if full_size is None else full_size
+
+    if level == 1:
+        from styletts_zs_tpu.pipelines.verify import run_verification
+        rep = run_verification(max_frames=256 if full else 64, batch=1)
+        rep["config"] = "cpu_ref"
+        return rep
+
+    if full:
+        base = Config(model=ModelConfig(max_text_len=256, max_frames=1024),
+                      runtime=RuntimeConfig(compute_dtype="bfloat16",
+                                            use_pallas=True))
+    else:
+        from styletts_zs_tpu.utils.config import tiny_test_config
+        base = tiny_test_config()
+
+    if level == 2:
+        rep = _synth_report(base, batch=8, one_step=True, n_steps=None,
+                            with_vocoder=False,
+                            n_frames=base.model.max_frames)
+        rep["config"] = "zs_batch8"
+        return rep
+
+    if level == 3:
+        rep = _synth_report(base, batch=32 if full else 4, one_step=False,
+                            n_steps=16 if full else 4, with_vocoder=False,
+                            n_frames=base.model.max_frames)
+        rep["config"] = "multistep_b32"
+        return rep
+
+    if level == 4:
+        frames = 4864 if full else 128
+        cfg = replace(base, model=replace(base.model, max_frames=frames))
+        rep = _synth_report(cfg, batch=4 if full else 2, one_step=True,
+                            n_steps=None, with_vocoder=True, n_frames=frames)
+        rep["config"] = "longform_60s"
+        return rep
+
+    if level == 5:
+        from styletts_zs_tpu.pipelines.factory import init_params
+        from styletts_zs_tpu.pipelines.serve import Request, Server
+        from styletts_zs_tpu.utils import text as text_utils
+
+        n_req = 256 if full else 8
+        serve = ServeConfig(batch_size=32 if full else 2, one_step=True,
+                            with_vocoder=False,
+                            frame_buckets=(256, 512, 1024) if full
+                            else (64, 128))
+        cfg = replace(base, serve=serve)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        server = Server(cfg, params)
+        rng = np.random.default_rng(0)
+        sr = cfg.model.audio.sample_rate
+        reqs = [Request(
+            uid=i,
+            phonemes=np.asarray(text_utils.text_to_ids("some request text"),
+                                np.int32),
+            ref_wav=rng.standard_normal(3 * sr).astype(np.float32) * 0.1,
+            est_frames=int(rng.integers(32, cfg.model.max_frames)))
+            for i in range(n_req)]
+        t0 = time.perf_counter()
+        results = server.serve_batch(reqs)
+        dt = time.perf_counter() - t0
+        audio_s = sum(r.frames for r in results) * cfg.model.audio.hop_length / sr
+        return {"config": "pod_serving", "n_requests": n_req,
+                "completed": len(results), "requeued": len(server.requeued),
+                "wall_s": round(dt, 2),
+                "audio_s_per_s_incl_compile": round(audio_s / dt, 2)}
+
+    raise ValueError(f"unknown acceptance level {level}")

@@ -73,8 +73,13 @@ class Server:
         lengths = np.asarray([r.est_frames for r in requests], np.int64)
         local_hist = bucketing.bucket_histogram(lengths, buckets)
         if jax.process_count() > 1:  # pragma: no cover - needs pod
-            g = jax.make_array_from_process_local_data  # placeholder hook
-            global_hist = local_hist  # summed via DCN all_gather in pod path
+            # DCN exchange: sum per-host histograms so every host derives the
+            # identical plan (same code path as tests/test_parallel.py's
+            # shard_map all_gather, but over processes)
+            from jax.experimental import multihost_utils
+            gathered = multihost_utils.process_allgather(
+                jnp.asarray(local_hist))
+            global_hist = np.asarray(gathered).sum(axis=0)
         else:
             global_hist = local_hist
         return bucketing.plan_buckets(global_hist, self.cfg.serve.batch_size,

@@ -1,0 +1,42 @@
+"""CLI end-to-end smoke tests (subprocess, tiny config)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+
+
+def _run(args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "styletts_zs_tpu.cli", *args],
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=timeout)
+
+
+def test_cli_synth_fixed_style(tmp_path):
+    out = str(tmp_path / "mel.npy")
+    r = _run(["synth", "--config", "configs/tiny.toml", "--text", "hello",
+              "--fixed-style", "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    mel = np.load(out)
+    assert mel.ndim == 2 and np.isfinite(mel).all()
+
+
+def test_cli_synth_zero_shot(tmp_path):
+    out = str(tmp_path / "mel.npy")
+    wav = str(tmp_path / "out.wav")
+    r = _run(["synth", "--config", "configs/tiny.toml", "--text", "hi there",
+              "--out", out, "--wav-out", wav])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out) and os.path.exists(wav)
+
+
+def test_cli_train_stage1(tmp_path):
+    r = _run(["train", "--config", "configs/tiny.toml", "--stage", "1",
+              "--steps", "3", "--workdir", str(tmp_path)], timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "training done" in r.stdout
