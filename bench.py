@@ -57,7 +57,9 @@ def main():
     for i in range(iters):
         out, wav = fn(params, phonemes, text_lengths, ref_mel, ref_lengths,
                       jax.random.PRNGKey(i))
-    jax.block_until_ready(wav)
+        # block every iteration: the remote-runtime pipeline otherwise
+        # reports dispatch time, not execution time
+        jax.block_until_ready(wav)
     dt = (time.perf_counter() - t0) / iters
 
     # audio seconds synthesized per call = emitted waveform duration x batch

@@ -152,6 +152,15 @@ def cmd_verify(args):
     print(json.dumps(report, indent=2))
 
 
+def cmd_accept(args):
+    """Run one of the five acceptance configs (BASELINE.json:6-12)."""
+    from styletts_zs_tpu.pipelines.acceptance import run_acceptance
+    from styletts_zs_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    report = run_acceptance(args.level, full_size=args.full or None)
+    print(json.dumps(report, indent=2))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -184,6 +193,12 @@ def main():
     pv.add_argument("--frames", type=int, default=256)
     pv.add_argument("--batch", type=int, default=1)
     pv.set_defaults(fn=cmd_verify)
+
+    pa = sub.add_parser("accept", help="run an acceptance config (1-5)")
+    pa.add_argument("--level", type=int, choices=(1, 2, 3, 4, 5), required=True)
+    pa.add_argument("--full", action="store_true",
+                    help="force full-size model (default: full on TPU)")
+    pa.set_defaults(fn=cmd_accept)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
     pb.add_argument("--config", default=None)

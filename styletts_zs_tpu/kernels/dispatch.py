@@ -5,12 +5,51 @@
 (``BASELINE.json:5``).  Both paths share one signature here so models never
 branch on backend themselves (SURVEY.md §2.3: "Every Pallas kernel must have
 an XLA-composed twin behind one switch").
+
+Autodiff: Pallas kernels carry custom VJPs whose backward re-derives the
+gradient through the XLA twin (numerically interchangeable — the twins are
+allclose-gated).  Training therefore works with ``use_pallas=True``; the
+forward stays on the hand-written kernels.  Dedicated backward kernels
+(flash-attention-style dq/dk/dv) are a future optimization.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from styletts_zs_tpu.ops import attention as attn_ops
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _local_attention_ad(chunk: int, has_mask: bool):
+    from styletts_zs_tpu.kernels import attention_kernel
+
+    @jax.custom_vjp
+    def f(q, k, v, mask):
+        return attention_kernel.local_attention_pallas(
+            q, k, v, chunk=chunk, kv_mask=mask if has_mask else None)
+
+    def fwd(q, k, v, mask):
+        return f(q, k, v, mask), (q, k, v, mask)
+
+    def bwd(res, g):
+        q, k, v, mask = res
+        _, vjp = jax.vjp(
+            lambda q, k, v: attn_ops.local_attention(
+                q, k, v, chunk=chunk, kv_mask=mask if has_mask else None),
+            q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def local_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, chunk: int,
@@ -18,10 +57,34 @@ def local_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, chunk: int,
                     use_pallas: bool = False) -> jax.Array:
     """Chunk-local self-attention (B, T, H, D); chunks attend to ±1 neighbors."""
     if use_pallas:
-        from styletts_zs_tpu.kernels import attention_kernel
-        return attention_kernel.local_attention_pallas(
-            q, k, v, chunk=chunk, kv_mask=kv_mask)
+        has_mask = kv_mask is not None
+        mask = kv_mask if has_mask else jnp.ones(q.shape[:2], bool)
+        return _local_attention_ad(chunk, has_mask)(q, k, v, mask)
     return attn_ops.local_attention(q, k, v, chunk=chunk, kv_mask=kv_mask)
+
+
+@functools.lru_cache(maxsize=None)
+def _full_attention_ad(has_mask: bool):
+    from styletts_zs_tpu.kernels import attention_kernel
+
+    @jax.custom_vjp
+    def f(q, k, v, mask):
+        return attention_kernel.full_attention_pallas(
+            q, k, v, kv_mask=mask if has_mask else None)
+
+    def fwd(q, k, v, mask):
+        return f(q, k, v, mask), (q, k, v, mask)
+
+    def bwd(res, g):
+        q, k, v, mask = res
+        _, vjp = jax.vjp(
+            lambda q, k, v: attn_ops.cross_attention(
+                q, k, v, kv_mask=mask if has_mask else None), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def full_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -29,21 +92,19 @@ def full_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    use_pallas: bool = False) -> jax.Array:
     """Full (cross- or self-) attention (B, Tq, H, D) x (B, Tk, H, D)."""
     if use_pallas:
-        from styletts_zs_tpu.kernels import attention_kernel
-        return attention_kernel.full_attention_pallas(q, k, v, kv_mask=kv_mask)
+        has_mask = kv_mask is not None
+        mask = kv_mask if has_mask else jnp.ones(k.shape[:2], bool)
+        return _full_attention_ad(has_mask)(q, k, v, mask)
     return attn_ops.cross_attention(q, k, v, kv_mask=kv_mask)
 
 
-def adain_conv_block(x, scale, shift, kernel1, kernel2, *, dilation: int = 1,
-                     use_pallas: bool = False):
-    """Fused AdaIN → conv → snake-ish activation → AdaIN → conv residual block."""
-    if use_pallas:
-        from styletts_zs_tpu.kernels import decoder_kernels
-        return decoder_kernels.adain_conv_block_pallas(
-            x, scale, shift, kernel1, kernel2, dilation=dilation)
+# ---------------------------------------------------------------------------
+# fused AdaIN conv block
+# ---------------------------------------------------------------------------
+
+def _adain_conv_xla(x, scale, shift, kernel1, kernel2, *, dilation: int):
     from styletts_zs_tpu.ops import conv as conv_ops
     from styletts_zs_tpu.ops import norm as norm_ops
-    import jax.numpy as jnp
     C = x.shape[-1]
     h = norm_ops.adain(x, scale[..., :C], shift[..., :C])
     h = jax.nn.silu(h)
@@ -51,25 +112,104 @@ def adain_conv_block(x, scale, shift, kernel1, kernel2, *, dilation: int = 1,
     h = norm_ops.adain(h, scale[..., C:], shift[..., C:])
     h = jax.nn.silu(h)
     h = conv_ops.conv1d(h, kernel2, dilation=1)
-    import numpy as np
     return ((x.astype(jnp.float32) + h.astype(jnp.float32))
             * np.float32(1.0 / np.sqrt(2.0))).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _adain_conv_ad(dilation: int):
+    from styletts_zs_tpu.kernels import decoder_kernels
+
+    @jax.custom_vjp
+    def f(x, scale, shift, k1, k2):
+        return decoder_kernels.adain_conv_block_pallas(
+            x, scale, shift, k1, k2, dilation=dilation)
+
+    def fwd(x, scale, shift, k1, k2):
+        return f(x, scale, shift, k1, k2), (x, scale, shift, k1, k2)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            functools.partial(_adain_conv_xla, dilation=dilation), *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def adain_conv_block(x, scale, shift, kernel1, kernel2, *, dilation: int = 1,
+                     use_pallas: bool = False):
+    """Fused AdaIN → SiLU → conv ×2 residual block (decoder hot path)."""
+    if use_pallas:
+        return _adain_conv_ad(dilation)(x, scale, shift, kernel1, kernel2)
+    return _adain_conv_xla(x, scale, shift, kernel1, kernel2,
+                           dilation=dilation)
+
+
+# ---------------------------------------------------------------------------
+# vocoder ops
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _conv_transpose_ad(stride: int):
+    from styletts_zs_tpu.kernels import vocoder_kernels
+    from styletts_zs_tpu.ops import conv as conv_ops
+
+    @jax.custom_vjp
+    def f(x, kernel):
+        return vocoder_kernels.conv_transpose1d_pallas(x, kernel,
+                                                       stride=stride)
+
+    def fwd(x, kernel):
+        return f(x, kernel), (x, kernel)
+
+    def bwd(res, g):
+        x, kernel = res
+        _, vjp = jax.vjp(
+            lambda x, k: conv_ops.conv_transpose1d(x, k, stride=stride),
+            x, kernel)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def conv_transpose1d(x, kernel, *, stride: int, use_pallas: bool = False):
     """Vocoder upsampling transposed conv."""
     if use_pallas:
-        from styletts_zs_tpu.kernels import vocoder_kernels
-        return vocoder_kernels.conv_transpose1d_pallas(x, kernel, stride=stride)
+        return _conv_transpose_ad(stride)(x, kernel)
     from styletts_zs_tpu.ops import conv as conv_ops
     return conv_ops.conv_transpose1d(x, kernel, stride=stride)
+
+
+@functools.lru_cache(maxsize=None)
+def _istft_ad(n_fft: int, hop: int):
+    from styletts_zs_tpu.kernels import vocoder_kernels
+    from styletts_zs_tpu.ops import stft as stft_ops
+    from styletts_zs_tpu.utils.config import AudioConfig
+    cfg = AudioConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop)
+
+    @jax.custom_vjp
+    def f(real, imag):
+        return vocoder_kernels.istft_pallas(real, imag, n_fft=n_fft, hop=hop)
+
+    def fwd(real, imag):
+        return f(real, imag), (real, imag)
+
+    def bwd(res, g):
+        real, imag = res
+        _, vjp = jax.vjp(
+            lambda r, i: stft_ops.istft(r, i, cfg, center=True), real, imag)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 def istft_head(real, imag, *, n_fft: int, hop: int, use_pallas: bool = False):
     """iSTFT overlap-add synthesis for the vocoder head."""
     if use_pallas:
-        from styletts_zs_tpu.kernels import vocoder_kernels
-        return vocoder_kernels.istft_pallas(real, imag, n_fft=n_fft, hop=hop)
+        return _istft_ad(n_fft, hop)(real, imag)
     from styletts_zs_tpu.ops import stft as stft_ops
     from styletts_zs_tpu.utils.config import AudioConfig
     cfg = AudioConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop)

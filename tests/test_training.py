@@ -55,3 +55,16 @@ def test_stage3_distill_step(setup):
                                jax.random.PRNGKey(0))
     for k in ("latent", "perceptual"):
         assert np.isfinite(float(aux[k]))
+
+
+def test_stage1_step_no_nans_with_debug_nans(setup):
+    """SURVEY.md §5.2: jax_debug_nans smoke — a step raises on any NaN."""
+    cfg, params, batch = setup
+    tr = T.Stage1Trainer(cfg)
+    state = tr.init_state(params)
+    try:
+        jax.config.update("jax_debug_nans", True)
+        state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(99))
+        _ = float(metrics["total_g"])
+    finally:
+        jax.config.update("jax_debug_nans", False)
