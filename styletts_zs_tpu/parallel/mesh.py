@@ -31,16 +31,23 @@ def make_mesh(data: int = -1, model: int = 1,
         axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto))
 
 
-def multihost_init():
-    """Multi-host entry (pod-scale serving config, ``BASELINE.json:11``).
+def multihost_init(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None):
+    """Multi-host DCN init (pod-scale serving config, ``BASELINE.json:11``).
 
-    On a single-process box this is a no-op degenerate path (SURVEY.md §4.2).
+    Must run BEFORE any jax op on a pod.  Reads ``JAX_COORDINATOR`` if no
+    address is given; on a single-process box (no coordinator configured)
+    this is the documented degenerate no-op path (SURVEY.md §4.2).
     """
-    if jax.process_count() > 1:  # pragma: no cover - needs real pod
-        return
-    # jax.distributed.initialize() must be called BEFORE any jax op on a pod;
-    # callers on multi-host slices invoke styletts_zs_tpu.parallel.mesh.init
-    # from their launcher. Single-process: nothing to do.
+    import os
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR")
+    if not addr:
+        return False
+    jax.distributed.initialize(  # pragma: no cover - needs real pod
+        coordinator_address=addr, num_processes=num_processes,
+        process_id=process_id)
+    return True
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
