@@ -27,14 +27,28 @@ def _rand(shape, seed=0, dtype=jnp.float32, scale=1.0):
     return jnp.asarray(x.astype(np.float32)).astype(dtype)
 
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+@jax.jit
+def _reduce(x):
+    return jnp.sum(x.astype(jnp.float32))
+
+
+def _run_k(fn, args, k):
     t0 = time.perf_counter()
-    for _ in range(iters):
+    out = None
+    for _ in range(k):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _ = float(_reduce(out))  # forces completion (block_until_ready is a
+    return time.perf_counter() - t0  # no-op under the remote runtime)
+
+
+def timeit(fn, *args, iters=20):
+    """Per-call time as the slope of wall time vs dispatched iterations."""
+    out = fn(*args)
+    _ = float(_reduce(out))  # warm both programs
+    k_lo, k_hi = max(2, iters // 10), iters
+    t_lo = _run_k(fn, args, k_lo)
+    t_hi = _run_k(fn, args, k_hi)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
 def report(name, t_pallas, t_xla, flops=None, bytes_moved=None):

@@ -165,3 +165,43 @@ def test_sampler_pallas_path_matches_xla():
                     n_steps=3, method=StyleDiffusion.sample)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_gradients_flow_through_pallas_dispatch():
+    """Custom VJPs: grads through Pallas forwards match XLA-twin grads."""
+    B, T, H, D = 1, 192, 2, 16
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+
+    def loss_p(q):
+        return jnp.sum(dispatch.local_attention(q, k, v, chunk=64,
+                                                use_pallas=True) ** 2)
+
+    def loss_x(q):
+        return jnp.sum(dispatch.local_attention(q, k, v, chunk=64,
+                                                use_pallas=False) ** 2)
+
+    gp = jax.grad(loss_p)(q)
+    gx = jax.grad(loss_x)(q)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=1e-4, rtol=1e-4)
+
+    x = _rand((1, 96, 16), 0)
+    sc = _rand((1, 96, 32), 1, 0.2)
+    sh = _rand((1, 96, 32), 2, 0.2)
+    k1 = _rand((5, 16, 16), 3, 0.1)
+    k2 = _rand((5, 16, 16), 4, 0.1)
+    gp = jax.grad(lambda x: jnp.sum(dispatch.adain_conv_block(
+        x, sc, sh, k1, k2, dilation=3, use_pallas=True) ** 2))(x)
+    gx = jax.grad(lambda x: jnp.sum(dispatch.adain_conv_block(
+        x, sc, sh, k1, k2, dilation=3, use_pallas=False) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=1e-4, rtol=1e-4)
+
+    xx = _rand((1, 40, 8), 0)
+    kk = _rand((10, 8, 16), 1, 0.2)
+    gp = jax.grad(lambda k_: jnp.sum(dispatch.conv_transpose1d(
+        xx, k_, stride=5, use_pallas=True) ** 2))(kk)
+    gx = jax.grad(lambda k_: jnp.sum(dispatch.conv_transpose1d(
+        xx, k_, stride=5, use_pallas=False) ** 2))(kk)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               atol=1e-4, rtol=1e-4)
