@@ -92,7 +92,7 @@ def _halo_strips(xp: jax.Array, n_blocks: int, block_t: int, halo: int):
 
 @functools.partial(jax.jit, static_argnames=("dilation", "block_t"))
 def _mod_conv_pass(x, scale, shift, kernel, *, dilation: int,
-                   block_t: int = 256):
+                   block_t: int = 512):
     """y = conv1d(silu(adain(x, scale, shift)), kernel, dilation, SAME)."""
     B, T, C = x.shape
     K = kernel.shape[0]

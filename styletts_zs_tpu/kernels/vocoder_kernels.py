@@ -28,7 +28,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from styletts_zs_tpu.ops import stft as stft_ops
-from styletts_zs_tpu.utils.config import AudioConfig
 
 
 def _interpret() -> bool:
@@ -40,13 +39,18 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _shift_matmul_kernel(x_ref, halo_ref, w_ref, o_ref, *, block_t: int,
-                         n_shift: int, left: int, r: int, c_out: int):
+                         n_shift: int, left: int, r: int, c_out: int,
+                         transposed: bool):
     """o[q*r + phi] = sum_m window[q + (n_shift-1-m) ...] — see wrapper.
 
     x_ref: (1, block_t, Cin); halo_ref: (1, 1, left+right, Cin) with
     left+right = n_shift-1+right halo frames; w_ref: ((n_shift)*Cin, r*c_out).
     The window is [left-halo | block | right-halo]; shift s takes
     window[s : s + block_t] for s = 0..n_shift-1.
+
+    ``transposed`` (used when r*c_out is narrow, e.g. the iSTFT head's
+    c_out=1): computes y^T = w^T @ window^T so the LANE axis is block_t
+    (full 128-wide tiles) instead of the narrow phase axis.
     """
     main = x_ref[0, :, :]
     halo = halo_ref[0, 0, :, :]
@@ -58,6 +62,17 @@ def _shift_matmul_kernel(x_ref, halo_ref, w_ref, o_ref, *, block_t: int,
         parts.append(halo[left:, :])
     window = jnp.concatenate(parts, axis=0) if len(parts) > 1 else main
     c_in = main.shape[-1]
+    if transposed:
+        yt = jnp.zeros((o_ref.shape[-2], block_t), jnp.float32)  # (r*c_out, bt)
+        for s in range(n_shift):
+            # (r*c_out, Cin) @ (Cin, block_t): contract Cin, lanes = block_t
+            yt += jax.lax.dot_general(
+                w_ref[s * c_in: (s + 1) * c_in, :],
+                window[s: s + block_t, :],
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[0, 0, :, :] = yt.astype(o_ref.dtype)
+        return
     y = jnp.zeros((block_t, o_ref.shape[-1]), jnp.float32)
     for s in range(n_shift):
         # view s reads x[q + s - left]; its tap weights are rows [s*Cin, ...)
@@ -98,19 +113,40 @@ def _shift_matmul(x, w_cat, *, r: int, n_shift: int, left: int, right: int,
     main = xp[:, left: left + T_pad, :]
     strips = _make_strips(xp, n_blocks, bt, left, right)
 
+    # narrow outputs (iSTFT head: r*c_out ~ hop) use the transposed layout so
+    # lanes carry block_t instead of the narrow phase axis
+    transposed = r * c_out < 64
     kern = functools.partial(_shift_matmul_kernel, block_t=bt,
-                             n_shift=n_shift, left=left, r=r, c_out=c_out)
+                             n_shift=n_shift, left=left, r=r, c_out=c_out,
+                             transposed=transposed)
+    in_specs = [
+        pl.BlockSpec((1, bt, Cin), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, left + right, Cin),
+                     lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_shift * Cin, r * c_out), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if transposed:
+        out = pl.pallas_call(
+            kern,
+            grid=(B, n_blocks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, r * c_out, bt),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_blocks, r * c_out, bt),
+                                           x.dtype),
+            interpret=_interpret(),
+        )(main, strips, w_cat)
+        # sample (i*bt + q)*r + phi lives at [b, i, phi_cout, q]
+        # -> transpose to (B, n, bt, r*c_out) -> flat time-major
+        out = jnp.transpose(out, (0, 1, 3, 2)).reshape(B, T_pad * r, c_out)
+        return out[:, : T * r, :]
     out = pl.pallas_call(
         kern,
         grid=(B, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, bt, Cin), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, left + right, Cin),
-                         lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_shift * Cin, r * c_out), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bt, r * c_out), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, r * c_out), x.dtype),

@@ -8,7 +8,6 @@ and the serving-side bucket-balancing exchange (SURVEY.md §5.8).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from styletts_zs_tpu.parallel.mesh import DATA_AXIS
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from styletts_zs_tpu.utils.config import (Config, ModelConfig, RuntimeConfig,
-                                          ServeConfig, load_config, replace)
+                                          ServeConfig, replace)
 
 
 def _measure(fn, args, iters=3):

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from styletts_zs_tpu.utils.config import AudioConfig, ModelConfig
+from styletts_zs_tpu.utils.config import ModelConfig
 
 
 @dataclass

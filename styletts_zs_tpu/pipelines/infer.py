@@ -11,7 +11,6 @@ zero-shot, batch 8), 3 (multi-step batch 32), 4 (waveform long-form).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -12,7 +12,7 @@ Flow per SURVEY.md §5.8 / §7.2-6:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

@@ -10,18 +10,15 @@ separately, since a single rounding flip would desynchronize frames).
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from styletts_zs_tpu.models.tts import StyleTTSZS
-from styletts_zs_tpu.models.vocoder import Vocoder
 from styletts_zs_tpu.ops.attention import length_mask
 from styletts_zs_tpu.pipelines.factory import build_models, init_params
-from styletts_zs_tpu.utils.config import (Config, ModelConfig, RuntimeConfig,
-                                          replace)
+from styletts_zs_tpu.utils.config import Config, ModelConfig, RuntimeConfig
 
 
 def _run(cfg: Config, params, phonemes, text_lengths, style, durations,

@@ -1,7 +1,4 @@
 """Acceptance runners execute end-to-end on CPU (tiny sizes)."""
-import numpy as np
-import pytest
-
 from styletts_zs_tpu.pipelines.acceptance import run_acceptance
 
 

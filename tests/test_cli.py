@@ -1,11 +1,9 @@
 """CLI end-to-end smoke tests (subprocess, tiny config)."""
-import json
 import os
 import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}

@@ -1,6 +1,4 @@
 """grain loader, checkpoint roundtrip, verify gate, long-form decoder path."""
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

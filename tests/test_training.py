@@ -6,7 +6,7 @@ import pytest
 from styletts_zs_tpu.pipelines import train as T
 from styletts_zs_tpu.pipelines.data import SyntheticDataset
 from styletts_zs_tpu.pipelines.factory import init_params
-from styletts_zs_tpu.utils.config import replace, tiny_test_config
+from styletts_zs_tpu.utils.config import tiny_test_config
 
 
 @pytest.fixture(scope="module")

@@ -1,6 +1,5 @@
 """Vocoder, diffusion sampler, and discriminator tests (tiny config)."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
