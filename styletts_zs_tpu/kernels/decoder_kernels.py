@@ -99,17 +99,36 @@ def _mod_conv_pass(x, scale, shift, kernel, *, dilation: int,
     halo = ((K - 1) * dilation) // 2
     mean, rstd = _instance_stats(x)
 
+    # prefer a block size that divides T: the main blocks are then x itself
+    # (no whole-array pad copy) and halos come from a clamped gather — the
+    # kernel masks out-of-range halo positions anyway
     bt = min(block_t, T)
+    for cand in (block_t, 384, 256, 128, 64, 32, 16, 8):
+        if cand <= T and T % cand == 0:
+            bt = cand
+            break
     n_blocks = -(-T // bt)
     T_pad = n_blocks * bt
     taps = tuple(k * dilation for k in range(K))
     C_out = kernel.shape[2]
 
-    def prep(a):
-        ap = jnp.pad(a, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
-        main = ap[:, halo: halo + T_pad, :]
-        strips = _halo_strips(ap, n_blocks, bt, halo)
-        return main, strips
+    if T_pad == T:
+        # halo positions of block i: [i*bt - halo, i*bt) and
+        # [(i+1)*bt, (i+1)*bt + halo), clamped into [0, T)
+        left = (jnp.arange(n_blocks)[:, None] * bt
+                + jnp.arange(-halo, 0)[None, :])
+        right = (jnp.arange(n_blocks)[:, None] * bt + bt
+                 + jnp.arange(halo)[None, :])
+        idx = jnp.clip(jnp.concatenate([left, right], axis=1), 0, T - 1)
+
+        def prep(a):
+            return a, a[:, idx, :]
+    else:
+        def prep(a):
+            ap = jnp.pad(a, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+            main = ap[:, halo: halo + T_pad, :]
+            strips = _halo_strips(ap, n_blocks, bt, halo)
+            return main, strips
 
     xm, xs = prep(x)
     scm, scs = prep(scale)
