@@ -59,3 +59,42 @@ def test_text_frontend():
     padded = text_utils.pad_ids(ids, 10)
     assert len(padded) == 10 and padded[-1] == text_utils.PAD_ID
     assert text_utils.VOCAB_SIZE < 192  # fits the model vocab default
+
+
+def test_serve_with_mesh_sharded_batches():
+    """Server dispatch with a data-parallel mesh (virtual devices)."""
+    import jax
+    from styletts_zs_tpu.parallel import mesh as mesh_lib
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+    cfg = tiny_test_config()
+    cfg = replace(cfg, serve=replace(cfg.serve, batch_size=2,
+                                     frame_buckets=(64,),
+                                     with_vocoder=False, one_step=True))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    server = Server(cfg, params, mesh=mesh)
+    rng = np.random.default_rng(0)
+    reqs = [Request(uid=i,
+                    phonemes=np.asarray(text_utils.text_to_ids("mesh req"),
+                                        np.int32),
+                    ref_wav=rng.standard_normal(8000).astype(np.float32) * 0.1,
+                    est_frames=50)
+            for i in range(4)]
+    results = server.serve_batch(reqs)
+    assert len(results) == 4 and not server.requeued
+
+
+def test_sampler_reproducible_given_rng():
+    import jax
+    from styletts_zs_tpu.pipelines.infer import Synthesizer
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    syn = Synthesizer(cfg, params)
+    import jax.numpy as jnp
+    ph = jnp.ones((1, 8), jnp.int32)
+    ref = jnp.zeros((1, 8000))
+    r = jax.random.PRNGKey(7)
+    out1, _ = syn.synthesize(ph, ref, rng=r, n_frames=64, with_vocoder=False)
+    out2, _ = syn.synthesize(ph, ref, rng=r, n_frames=64, with_vocoder=False)
+    np.testing.assert_array_equal(np.asarray(out1.mel), np.asarray(out2.mel))
