@@ -28,7 +28,7 @@ from styletts_zs_tpu.ops import attention as attn_ops
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _local_attention_ad(chunk: int, has_mask: bool):
+def _local_attention_ad(chunk: int, has_mask: bool, pallas_bwd: bool):
     from styletts_zs_tpu.kernels import attention_kernel
 
     @jax.custom_vjp
@@ -36,17 +36,29 @@ def _local_attention_ad(chunk: int, has_mask: bool):
         return attention_kernel.local_attention_pallas(
             q, k, v, chunk=chunk, kv_mask=mask if has_mask else None)
 
-    def fwd(q, k, v, mask):
-        return f(q, k, v, mask), (q, k, v, mask)
+    if pallas_bwd:
+        # dedicated flash-style backward kernels (chunk lane-aligned)
+        def fwd(q, k, v, mask):
+            out, res = attention_kernel.local_attention_fwd_pallas(
+                q, k, v, chunk=chunk, kv_mask=mask if has_mask else None)
+            return out, res
 
-    def bwd(res, g):
-        q, k, v, mask = res
-        _, vjp = jax.vjp(
-            lambda q, k, v: attn_ops.local_attention(
-                q, k, v, chunk=chunk, kv_mask=mask if has_mask else None),
-            q, k, v)
-        dq, dk, dv = vjp(g)
-        return dq, dk, dv, None
+        def bwd(res, g):
+            dq, dk, dv = attention_kernel.local_attention_bwd_pallas(
+                res, g, chunk=chunk)
+            return dq, dk, dv, None
+    else:
+        def fwd(q, k, v, mask):
+            return f(q, k, v, mask), (q, k, v, mask)
+
+        def bwd(res, g):
+            q, k, v, mask = res
+            _, vjp = jax.vjp(
+                lambda q, k, v: attn_ops.local_attention(
+                    q, k, v, chunk=chunk, kv_mask=mask if has_mask else None),
+                q, k, v)
+            dq, dk, dv = vjp(g)
+            return dq, dk, dv, None
 
     f.defvjp(fwd, bwd)
     return f
@@ -59,7 +71,9 @@ def local_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, chunk: int,
     if use_pallas:
         has_mask = kv_mask is not None
         mask = kv_mask if has_mask else jnp.ones(q.shape[:2], bool)
-        return _local_attention_ad(chunk, has_mask)(q, k, v, mask)
+        T = q.shape[1]
+        pallas_bwd = (chunk % 128 == 0 and T % chunk == 0 and T >= 3 * chunk)
+        return _local_attention_ad(chunk, has_mask, pallas_bwd)(q, k, v, mask)
     return attn_ops.local_attention(q, k, v, chunk=chunk, kv_mask=kv_mask)
 
 

@@ -205,3 +205,39 @@ def test_gradients_flow_through_pallas_dispatch():
         xx, k_, stride=5, use_pallas=False) ** 2))(kk)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_local_attention_pallas_backward_kernels():
+    """Dedicated flash-style bwd kernels match XLA-twin gradients."""
+    B, T, H, D = 2, 384, 2, 32
+    chunk = 128  # lane-aligned -> Pallas bwd path
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    kv_mask = attn_ops.length_mask(jnp.array([300, 384]), T)
+
+    def loss_p(q, k, v):
+        return jnp.sum(dispatch.local_attention(
+            q, k, v, chunk=chunk, kv_mask=kv_mask, use_pallas=True) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(dispatch.local_attention(
+            q, k, v, chunk=chunk, kv_mask=kv_mask, use_pallas=False) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_local_attention_fwd_lse_matches_plain():
+    B, T, H, D = 1, 384, 2, 16
+    chunk = 128
+    q, k, v = (_rand((B, T, H, D), s) for s in range(3))
+    from styletts_zs_tpu.kernels import attention_kernel as AK
+    out_plain = AK.local_attention_pallas(q, k, v, chunk=chunk)
+    out_lse, res = AK.local_attention_fwd_pallas(q, k, v, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(out_lse), np.asarray(out_plain),
+                               atol=1e-5, rtol=1e-5)
+    lse = res[4]
+    assert np.isfinite(np.asarray(lse)).all()
