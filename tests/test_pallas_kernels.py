@@ -114,8 +114,8 @@ def test_conv_transpose_pallas_matches_twin(stride, K):
                                atol=2e-5, rtol=2e-5)
 
 
-def test_istft_pallas_matches_twin():
-    n_fft, hop = 16, 4
+@pytest.mark.parametrize("n_fft,hop", [(16, 4), (48, 12)])
+def test_istft_pallas_matches_twin(n_fft, hop):
     B, F = 2, 100
     n_freq = n_fft // 2 + 1
     real = _rand((B, F, n_freq), 0)
