@@ -27,11 +27,14 @@ def conv1d(x: jax.Array, kernel: jax.Array, *, stride: int = 1,
         pad = [(k_eff - 1, 0)]
     else:
         pad = padding
+    # NOTE: no preferred_element_type here — a mixed-precision conv (bf16 in,
+    # f32 out) has no transpose rule, breaking gradients.  TPU MXU convs
+    # accumulate in fp32 internally regardless; fp32 inputs are exact.
+    kernel = kernel.astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=(stride,), padding=pad,
         rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
 
 
