@@ -1,32 +1,40 @@
 """Benchmark: zero-shot synthesis throughput on one chip.
 
-Prints ONE JSON line: audio-seconds synthesized per wall-second per chip at
-batch 32 (the ``BASELINE.json:5`` headline; target >= 10x real-time, so
-``vs_baseline`` = value / 10).  Runs the full fused program — 3 s prompt
-encode + 1-step CFG style diffusion + mel decode + vocoder.
+Prints ONE JSON line carrying the ``BASELINE.json:2`` metric triple:
+  - value:      audio-seconds synthesized per wall-second per chip at batch
+                32 (headline; target >= 10x real-time, so ``vs_baseline`` =
+                value / 10) — full fused program: 3 s prompt encode + 1-step
+                CFG style diffusion + mel decode + vocoder.
+  - rtf_batch1: real-time factor at batch 1 (same fused program).
+  - mel_mae:    masked mel MAE of the bench config (bf16 + Pallas) vs the
+                fp32 XLA-twin golden path at batch 1 (SURVEY.md §0: the
+                golden IS the fp32 no-Pallas path).
 
-Timing methodology: this box's remote TPU runtime pipelines executions and
-its ``block_until_ready`` is a no-op, so per-call time is measured as the
-SLOPE of wall time vs number of dispatched iterations, with a scalar
-reduction of the final output fetched to force completion — RPC latency and
-transfer cost cancel out.  (See memory: tpu-remote-compile-slow.)
+Timing: slope method (``styletts_zs_tpu.utils.metrics.slope_time``) — this
+box's remote TPU runtime pipelines executions and its ``block_until_ready``
+is a no-op, so per-call time is the SLOPE of wall time vs dispatched
+iterations with a scalar fetch forcing completion; RPC latency and transfer
+cost cancel out.  Validated at 98% bf16 peak on a pure matmul chain.
 """
 from __future__ import annotations
 
 import json
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 
 
-def _timed_iters(fn, reduce_fn, args_for, k: int) -> float:
-    t0 = time.perf_counter()
-    last = None
-    for i in range(k):
-        last = fn(*args_for(i))
-    _ = float(reduce_fn(*last))  # forces completion of the whole chain
-    return time.perf_counter() - t0
+def _synth_args(m, batch: int, seed: int = 0):
+    rng = jax.random.PRNGKey(seed)
+    Tt = m.max_text_len
+    ref_frames = 3 * m.audio.sample_rate // m.audio.hop_length
+    return (
+        jax.random.randint(rng, (batch, Tt), 1, 40),
+        jnp.full((batch,), Tt, jnp.int32),
+        jax.random.normal(rng, (batch, ref_frames, m.audio.n_mels)) * 0.5,
+        jnp.full((batch,), ref_frames, jnp.int32),
+    )
 
 
 def main():
@@ -34,8 +42,10 @@ def main():
     enable_compilation_cache()
     from styletts_zs_tpu.pipelines.factory import init_params
     from styletts_zs_tpu.pipelines.infer import make_synthesis_fn
+    from styletts_zs_tpu.utils import metrics as metrics_lib
     from styletts_zs_tpu.utils.config import (Config, ModelConfig,
-                                              RuntimeConfig, tiny_test_config)
+                                              RuntimeConfig, replace,
+                                              tiny_test_config)
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -54,40 +64,61 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0))
     fn = jax.jit(make_synthesis_fn(cfg, one_step=True, with_vocoder=True,
                                    n_frames=m.max_frames))
-
-    @jax.jit
-    def reduce_out(out, wav):
-        return jnp.sum(wav.astype(jnp.float32))
-
-    Tt = m.max_text_len
-    ref_frames = 3 * m.audio.sample_rate // m.audio.hop_length
-    rng = jax.random.PRNGKey(0)
-    phonemes = jax.random.randint(rng, (batch, Tt), 1, 40)
-    text_lengths = jnp.full((batch,), Tt, jnp.int32)
-    ref_mel = jax.random.normal(rng, (batch, ref_frames, m.audio.n_mels)) * 0.5
-    ref_lengths = jnp.full((batch,), ref_frames, jnp.int32)
+    static = _synth_args(m, batch)
 
     def args_for(i):
-        return (params, phonemes, text_lengths, ref_mel, ref_lengths,
-                jax.random.PRNGKey(i))
+        return (params, *static, jax.random.PRNGKey(i))
 
-    # warmup / compile (both programs)
-    out, wav = fn(*args_for(0))
-    _ = float(reduce_out(out, wav))
+    def fn_wav(params, phonemes, text_lengths, ref_mel, ref_lengths, rng):
+        out, wav = fn(params, phonemes, text_lengths, ref_mel, ref_lengths,
+                      rng)
+        return wav
 
-    t_lo = _timed_iters(fn, reduce_out, args_for, k_lo)
-    t_hi = _timed_iters(fn, reduce_out, args_for, k_hi)
-    dt = max((t_hi - t_lo) / (k_hi - k_lo), 1e-6)
-
+    _, wav = fn(*args_for(0))
+    dt = metrics_lib.slope_time(fn_wav, args_for, k_lo=k_lo, k_hi=k_hi)
     audio_s = batch * wav.shape[1] / m.audio.sample_rate
-    audio_s_per_s = audio_s / dt
-
-    print(json.dumps({
+    rec = {
         "metric": "audio_s_per_s_per_chip_batch32_1step",
-        "value": round(audio_s_per_s, 2),
+        "value": round(audio_s / dt, 2),
         "unit": "audio-seconds/s/chip",
-        "vs_baseline": round(audio_s_per_s / 10.0, 3),
-    }))
+        "vs_baseline": round(audio_s / dt / 10.0, 3),
+    }
+
+    # --- RTF at batch 1 (BASELINE.json:2 "RTF at batch 1") ---------------
+    try:
+        static1 = _synth_args(m, 1)
+
+        def args1_for(i):
+            return (params, *static1, jax.random.PRNGKey(i))
+
+        _, wav1 = fn(*args1_for(0))
+        dt1 = metrics_lib.slope_time(fn_wav, args1_for, k_lo=k_lo, k_hi=k_hi)
+        rec["rtf_batch1"] = round((wav1.shape[1] / m.audio.sample_rate) / dt1,
+                                  2)
+    except Exception as e:  # never lose the headline line
+        print(f"bench: rtf_batch1 failed: {e!r}", file=sys.stderr)
+
+    # --- mel MAE vs the fp32 XLA golden at batch 1 ------------------------
+    try:
+        golden_cfg = replace(
+            cfg, runtime=RuntimeConfig(compute_dtype="float32",
+                                       use_pallas=False))
+        fn_g = jax.jit(make_synthesis_fn(golden_cfg, one_step=True,
+                                         with_vocoder=True,
+                                         n_frames=m.max_frames))
+        out_b, _ = fn(params, *static1, jax.random.PRNGKey(0))
+        out_g, _ = fn_g(params, *static1, jax.random.PRNGKey(0))
+        import numpy as np
+        mask = np.asarray(out_g.frame_mask)[..., None]
+        mel_b = np.asarray(out_b.mel, np.float32)
+        mel_g = np.asarray(out_g.mel, np.float32)
+        mae = (np.abs((mel_b - mel_g) * mask).sum()
+               / max(mask.sum() * mel_g.shape[-1], 1))
+        rec["mel_mae_vs_fp32_golden"] = round(float(mae), 5)
+    except Exception as e:
+        print(f"bench: mel_mae failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

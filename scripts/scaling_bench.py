@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
+
 
 import jax
 import jax.numpy as jnp
@@ -46,18 +46,15 @@ def run_for_mesh(n_dev: int, *, batch_per_dev: int, cfg, params, base=None):
         jax.device_put(jnp.full((B,), ref_frames, jnp.int32), bs),
         rng,
     )
+    from styletts_zs_tpu.utils import metrics as metrics_lib
     out, wav = fn(*args)
-    jax.block_until_ready(wav)
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, wav = fn(*args)
-    jax.block_until_ready(wav)
-    dt = (time.perf_counter() - t0) / iters
-    audio_s = (float(jax.device_get(out.frame_lengths).sum())
-               * m.audio.hop_length / m.audio.sample_rate)
+    k_lo, k_hi = (2, 8) if jax.default_backend() == "tpu" else (1, 4)
+    dt = metrics_lib.slope_time(fn, args, k_lo=k_lo, k_hi=k_hi)
+    # synthesized capacity (program output length), like bench.py — NOT
+    # predicted frame_lengths, which are ~0 under random-init params
+    audio_s = B * wav.shape[1] / m.audio.sample_rate
     thr = audio_s / dt
-    eff = None if base is None else thr / (base * n_dev)
+    eff = None if base is None else thr / max(base * n_dev, 1e-9)
     print(json.dumps({"n_devices": n_dev, "audio_s_per_s": round(thr, 2),
                       "efficiency_vs_linear": None if eff is None
                       else round(eff, 3)}))

@@ -21,18 +21,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from styletts_zs_tpu.utils import metrics as metrics_lib
 from styletts_zs_tpu.utils.config import (Config, ModelConfig, RuntimeConfig,
                                           ServeConfig, replace)
 
 
-def _measure(fn, args, iters=3):
+def _measure(fn, args):
+    """Per-call device time via the slope method (``metrics.slope_time``) —
+    the only valid TPU timing on this runtime (no-op block_until_ready)."""
     out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    return out, (time.perf_counter() - t0) / iters
+    on_tpu = jax.default_backend() == "tpu"
+    k_lo, k_hi = (2, 8) if on_tpu else (1, 3)
+    dt = metrics_lib.slope_time(fn, args, k_lo=k_lo, k_hi=k_hi)
+    return out, dt
 
 
 def _synth_report(cfg: Config, *, batch: int, one_step: bool,

@@ -12,6 +12,7 @@ Flow per SURVEY.md §5.8 / §7.2-6:
 """
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 from typing import Optional
 
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from styletts_zs_tpu.ops import stft as stft_ops
-from styletts_zs_tpu.parallel import bucketing, mesh as mesh_lib
+from styletts_zs_tpu.parallel import bucketing, collectives, mesh as mesh_lib
 from styletts_zs_tpu.pipelines.infer import make_synthesis_fn
 from styletts_zs_tpu.utils.config import Config, replace
 
@@ -72,16 +73,10 @@ class Server:
         buckets = self.cfg.serve.frame_buckets
         lengths = np.asarray([r.est_frames for r in requests], np.int64)
         local_hist = bucketing.bucket_histogram(lengths, buckets)
-        if jax.process_count() > 1:  # pragma: no cover - needs pod
-            # DCN exchange: sum per-host histograms so every host derives the
-            # identical plan (same code path as tests/test_parallel.py's
-            # shard_map all_gather, but over processes)
-            from jax.experimental import multihost_utils
-            gathered = multihost_utils.process_allgather(
-                jnp.asarray(local_hist))
-            global_hist = np.asarray(gathered).sum(axis=0)
-        else:
-            global_hist = local_hist
+        # DCN exchange: sum per-host histograms so every host derives the
+        # identical plan; identity on one process.  Exercised by the
+        # 2-process CPU smoke test (tests/test_multiprocess.py).
+        global_hist = collectives.process_sum_histogram(local_hist)
         return bucketing.plan_buckets(global_hist, self.cfg.serve.batch_size,
                                       buckets)
 
@@ -115,7 +110,12 @@ class Server:
                 try:
                     results.extend(self._dispatch(bucket, phon, tlen, refs,
                                                   group))
-                except Exception:  # per-batch failure -> requeue bucket
+                except (jax.errors.JaxRuntimeError, RuntimeError) as e:
+                    # transient device/runtime failure -> requeue the batch
+                    # (SURVEY.md §5.3).  Shape/compile bugs (TypeError,
+                    # ValueError) propagate: requeueing them would loop.
+                    print(f"serve: bucket {bucket} batch of {len(group)} "
+                          f"failed, requeued: {e!r}", file=sys.stderr)
                     self.requeued.extend(group)
         return results
 

@@ -1,8 +1,16 @@
-"""Metrics/observability: tensorboard scalars, fenced timers, profiling.
+"""Metrics/observability: tensorboard scalars, device timers, profiling.
 
 SURVEY.md §5.1/§5.5: ``jax.profiler`` traces for per-kernel timelines
-(tensorboard profile plugin is installed in-env), ``block_until_ready``-fenced
-timers for RTF, structured per-host stdout logs.
+(tensorboard profile plugin is installed in-env), slope-method device timers
+for RTF, structured per-host stdout logs.
+
+Timing methodology (the ONE valid way to time on this runtime): the remote
+TPU runtime pipelines executions and its ``jax.block_until_ready`` is a
+no-op, so fenced wall-clock timing measures dispatch, not execution.
+``slope_time`` instead measures the SLOPE of wall time vs number of chained
+dispatches, with a scalar fetch of the final output forcing completion —
+RPC latency, transfer, and fetch constants cancel out.  Validated at 98% of
+bf16 MXU peak on a pure matmul chain (docs/STATUS.md).
 """
 from __future__ import annotations
 
@@ -13,6 +21,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 
 class MetricsWriter:
@@ -44,15 +53,51 @@ class MetricsWriter:
             self._tb.close()
 
 
+def force_fetch(out) -> float:
+    """Force device completion by fetching a scalar reduction of every array
+    leaf.  ``block_until_ready`` is a no-op on the remote TPU runtime; a data
+    fetch is the only reliable execution fence (docs/STATUS.md timing note).
+    """
+    total = 0.0
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and getattr(leaf, "size", 0):
+            total += float(jnp.sum(leaf.astype(jnp.float32)))
+    return total
+
+
+def _run_chain(fn, args_for, k: int) -> float:
+    t0 = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = fn(*args_for(i))
+    force_fetch(out)
+    return time.perf_counter() - t0
+
+
+def slope_time(fn, args, *, k_lo: int = 2, k_hi: int = 12) -> float:
+    """Per-call device time of ``fn(*args)`` via the slope method (see module
+    docstring).  ``args`` is a tuple, or a callable ``i -> tuple`` to vary
+    arguments per dispatch.  Warms up (compiles) first; returns seconds/call.
+    """
+    args_for = args if callable(args) else (lambda i: args)
+    force_fetch(fn(*args_for(0)))  # warm both fn and the fetch program
+    t_lo = _run_chain(fn, args_for, k_lo)
+    t_hi = _run_chain(fn, args_for, k_hi)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
 @contextlib.contextmanager
 def fenced_timer(result: dict, key: str = "seconds"):
-    """Wall-time a device computation correctly: fence before and after."""
-    jax.effects_barrier()
+    """Wall-time a device computation, fencing completion with a data fetch
+    (NOT ``block_until_ready`` — see module docstring).  Measures one
+    dispatch including queue/RPC overhead; prefer ``slope_time`` for
+    per-call device time on TPU.
+    """
     t0 = time.perf_counter()
     holder = {}
     yield holder
     if "value" in holder:
-        jax.block_until_ready(holder["value"])
+        force_fetch(holder["value"])
     result[key] = time.perf_counter() - t0
 
 

@@ -67,25 +67,21 @@ def test_param_sharding_rules():
 
 def test_metadata_all_gather_shard_map():
     """Length-bucket histogram exchange (BASELINE.json:5 metadata collective)."""
-    from jax.experimental.shard_map import shard_map
+    from styletts_zs_tpu.parallel import collectives
     mesh = mesh_lib.make_mesh(data=8, model=1)
     lengths = jnp.arange(16, dtype=jnp.int32) * 40  # 0..600
     ls = jax.device_put(lengths, mesh_lib.batch_sharding(mesh))
 
-    def hist_fn(ls):
-        h = jnp.stack([jnp.sum(ls <= 256), jnp.sum(ls > 256)])
-        return jax.lax.all_gather(h, mesh_lib.DATA_AXIS)
-
-    out = jax.jit(shard_map(hist_fn, mesh=mesh, in_specs=P(mesh_lib.DATA_AXIS),
-                            out_specs=P(mesh_lib.DATA_AXIS)))(ls)
-    # out stacks each shard's gathered (8, 2) copy -> (64, 2); every copy
-    # holds all hosts' local histograms
-    gathered = np.asarray(out).reshape(8, 8, 2)
-    total = gathered[0].sum(0)
+    per_shard = collectives.gather_length_histograms(mesh, ls, (256,))
+    assert per_shard.shape == (8, 2)
+    total = np.asarray(per_shard).sum(0)
     assert total.sum() == 16
     assert total[0] == int(np.sum(np.asarray(lengths) <= 256))
-    # every shard saw the identical gathered metadata
-    assert (gathered == gathered[0]).all()
+    # local histogram matches numpy's bucketing
+    np_hist = np.asarray(
+        collectives.length_histogram(lengths, (256,)))
+    assert np_hist.tolist() == [int(np.sum(np.asarray(lengths) <= 256)),
+                                int(np.sum(np.asarray(lengths) > 256))]
 
 
 def test_bucketing_plan():
