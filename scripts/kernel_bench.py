@@ -1,8 +1,13 @@
 """Per-kernel microbenchmarks: Pallas vs XLA twin on the real chip.
 
 Substantiates the "speed-of-light per chip" obligation (``BASELINE.json:5``)
-with measured per-kernel times and a roofline estimate against v5e peak
-(~394 bf16 TFLOP/s MXU, ~819 GB/s HBM — SURVEY.md §5.1).
+with measured per-kernel times and roofline estimates against v5e peak
+(~394 bf16 TFLOP/s MXU, ~819 GB/s HBM — SURVEY.md §5.1) for ALL five
+mandated kernel families (attention fwd+bwd, AdaIN-conv fwd+bwd, transposed
+conv, iSTFT head, fused sampler tail).
+
+Timing: ``styletts_zs_tpu.utils.metrics.slope_time`` (slope method; the
+runtime's block_until_ready is a no-op).
 
 Run:  python scripts/kernel_bench.py            (one JSON line per kernel)
 """
@@ -10,13 +15,14 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from styletts_zs_tpu.utils import metrics as metrics_lib  # noqa: E402
 
 V5E_BF16_TFLOPS = 394e12
 V5E_HBM_BPS = 819e9
@@ -27,28 +33,9 @@ def _rand(shape, seed=0, dtype=jnp.float32, scale=1.0):
     return jnp.asarray(x.astype(np.float32)).astype(dtype)
 
 
-@jax.jit
-def _reduce(x):
-    return jnp.sum(x.astype(jnp.float32))
-
-
-def _run_k(fn, args, k):
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(k):
-        out = fn(*args)
-    _ = float(_reduce(out))  # forces completion (block_until_ready is a
-    return time.perf_counter() - t0  # no-op under the remote runtime)
-
-
-def timeit(fn, *args, iters=20):
-    """Per-call time as the slope of wall time vs dispatched iterations."""
-    out = fn(*args)
-    _ = float(_reduce(out))  # warm both programs
-    k_lo, k_hi = max(2, iters // 10), iters
-    t_lo = _run_k(fn, args, k_lo)
-    t_hi = _run_k(fn, args, k_hi)
-    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+def timeit(fn, *args, iters=50):
+    return metrics_lib.slope_time(fn, args, k_lo=max(2, iters // 10),
+                                  k_hi=iters)
 
 
 def report(name, t_pallas, t_xla, flops=None, bytes_moved=None):
@@ -62,6 +49,7 @@ def report(name, t_pallas, t_xla, flops=None, bytes_moved=None):
         rec["hbm_gbps"] = round(bytes_moved / t_pallas / 1e9, 1)
         rec["hbm_util"] = round(bytes_moved / t_pallas / V5E_HBM_BPS, 3)
     print(json.dumps(rec))
+    return rec
 
 
 def bench_local_attention(dtype=jnp.bfloat16):
@@ -80,6 +68,30 @@ def bench_local_attention(dtype=jnp.bfloat16):
     report("local_attention_60s", tp, tx, flops, bytes_moved)
 
 
+def bench_local_attention_bwd(dtype=jnp.bfloat16):
+    """Flash-style dedicated bwd kernels vs differentiated XLA twin."""
+    from styletts_zs_tpu.kernels import dispatch
+    from styletts_zs_tpu.ops import attention as attn_ops
+    B, T, H, D, chunk = 8, 4864, 8, 64, 256
+    q, k, v = (_rand((B, T, H, D), s, dtype) for s in range(3))
+
+    def loss_p(q, k, v):
+        return jnp.sum(dispatch.local_attention(
+            q, k, v, chunk=chunk, use_pallas=True).astype(jnp.float32))
+
+    def loss_x(q, k, v):
+        return jnp.sum(attn_ops.local_attention(
+            q, k, v, chunk=chunk).astype(jnp.float32))
+
+    g_p = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
+    g_x = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))
+    tp = timeit(g_p, q, k, v, iters=20)
+    tx = timeit(g_x, q, k, v, iters=20)
+    # bwd ~ 2.5x fwd matmul work (dq, dk, dv, p recompute)
+    flops = 5 * 2 * B * H * T * 3 * chunk * D
+    report("local_attention_bwd", tp, tx, flops)
+
+
 def bench_adain_conv(dtype=jnp.bfloat16):
     from styletts_zs_tpu.kernels import decoder_kernels, dispatch
     B, T, C, K = 8, 1024, 512, 5
@@ -95,7 +107,20 @@ def bench_adain_conv(dtype=jnp.bfloat16):
     tp = timeit(f_p, x, sc, sh, k1, k2)
     tx = timeit(f_x, x, sc, sh, k1, k2)
     flops = 2 * B * T * K * C * C * 2
-    report("adain_conv_block", tp, tx, flops)
+    bytes_moved = (B * T * C * 10) * (2 if dtype == jnp.bfloat16 else 4)
+    report("adain_conv_block", tp, tx, flops, bytes_moved)
+
+    # dedicated saved-stats backward vs XLA-twin backward
+    def mk(f):
+        def loss(x, sc, sh, k1, k2):
+            return jnp.sum(f(x, sc, sh, k1, k2).astype(jnp.float32))
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+
+    tp = timeit(mk(dispatch._adain_conv_ad(3, True)), x, sc, sh, k1, k2,
+                iters=20)
+    tx = timeit(mk(dispatch._adain_conv_ad(3, False)), x, sc, sh, k1, k2,
+                iters=20)
+    report("adain_conv_bwd", tp, tx, 2 * flops)
 
 
 def bench_conv_transpose(dtype=jnp.bfloat16):
@@ -107,8 +132,8 @@ def bench_conv_transpose(dtype=jnp.bfloat16):
     f_p = jax.jit(lambda x, k: vocoder_kernels.conv_transpose1d_pallas(
         x, k, stride=r))
     f_x = jax.jit(lambda x, k: conv_ops.conv_transpose1d(x, k, stride=r))
-    tp = timeit(f_p, x, k)
-    tx = timeit(f_x, x, k)
+    tp = timeit(f_p, x, k, iters=100)
+    tx = timeit(f_x, x, k, iters=100)
     flops = 2 * B * T * K * Cin * Cout
     report("vocoder_conv_transpose", tp, tx, flops)
 
@@ -124,16 +149,63 @@ def bench_istft():
     f_p = jax.jit(lambda r, i: vocoder_kernels.istft_pallas(
         r, i, n_fft=16, hop=4))
     f_x = jax.jit(lambda r, i: stft_ops.istft(r, i, cfg))
-    tp = timeit(f_p, re, im, iters=5)
-    tx = timeit(f_x, re, im, iters=5)
+    tp = timeit(f_p, re, im, iters=20)
+    tx = timeit(f_x, re, im, iters=20)
     bytes_moved = B * F * (18 * 4 + 4 * 4)
     report("istft_overlap_add", tp, tx, None, bytes_moved)
+
+
+def bench_full_attention(dtype=jnp.bfloat16):
+    """Diffusion/decoder full attention (CFG-doubled batch, style codes)."""
+    from styletts_zs_tpu.kernels import attention_kernel
+    from styletts_zs_tpu.ops import attention as attn_ops
+    B, Tq, Tk, H, D = 64, 128, 256, 8, 64  # doubled batch 2x32, codes->text
+    q = _rand((B, Tq, H, D), 0, dtype)
+    k = _rand((B, Tk, H, D), 1, dtype)
+    v = _rand((B, Tk, H, D), 2, dtype)
+    f_p = jax.jit(lambda q, k, v: attention_kernel.full_attention_pallas(
+        q, k, v))
+    f_x = jax.jit(lambda q, k, v: attn_ops.cross_attention(q, k, v))
+    tp = timeit(f_p, q, k, v, iters=100)
+    tx = timeit(f_x, q, k, v, iters=100)
+    flops = 2 * 2 * B * H * Tq * Tk * D
+    bytes_moved = (B * (Tq * 2 + Tk * 2) * H * D
+                   * (2 if dtype == jnp.bfloat16 else 4))
+    report("full_attention_cfg", tp, tx, flops, bytes_moved)
+
+
+def bench_sampler_tail():
+    """Fused CFG + Euler ODE update (VPU pass; bandwidth-bound)."""
+    from styletts_zs_tpu.kernels import sampler_kernel
+    B, K, D = 32, 50, 128
+    x = _rand((B, K, D), 0)
+    dc = _rand((B, K, D), 1)
+    du = _rand((B, K, D), 2)
+    s_cur = jnp.float32(1.0)
+    s_next = jnp.float32(0.5)
+    f_p = jax.jit(lambda x, dc, du: sampler_kernel.fused_euler_step(
+        x, dc, du, s_cur, s_next, guidance=2.0))
+
+    def xla_twin(x, dc, du):
+        xf, dcf, duf = (a.astype(jnp.float32) for a in (x, dc, du))
+        den = duf + 2.0 * (dcf - duf)
+        d = (xf - den) / s_cur
+        return xf + (s_next - s_cur) * d, d
+
+    f_x = jax.jit(xla_twin)
+    tp = timeit(f_p, x, dc, du, iters=200)
+    tx = timeit(f_x, x, dc, du, iters=200)
+    bytes_moved = B * K * D * 5 * 4  # 3 reads + 2 writes fp32
+    report("sampler_cfg_euler_tail", tp, tx, None, bytes_moved)
 
 
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}))
     bench_local_attention()
+    bench_local_attention_bwd()
     bench_adain_conv()
     bench_conv_transpose()
     bench_istft()
+    bench_full_attention()
+    bench_sampler_tail()

@@ -93,7 +93,11 @@ def _halo_strips(xp: jax.Array, n_blocks: int, block_t: int, halo: int):
 @functools.partial(jax.jit, static_argnames=("dilation", "block_t"))
 def _mod_conv_pass(x, scale, shift, kernel, *, dilation: int,
                    block_t: int = 512):
-    """y = conv1d(silu(adain(x, scale, shift)), kernel, dilation, SAME)."""
+    """y = conv1d(silu(adain(x, scale, shift)), kernel, dilation, SAME).
+
+    Returns (y, mean, rstd) — the instance stats are the backward's saved
+    residuals (dispatch.py routes to the dedicated backward kernels below).
+    """
     B, T, C = x.shape
     K = kernel.shape[0]
     halo = ((K - 1) * dilation) // 2
@@ -159,7 +163,7 @@ def _mod_conv_pass(x, scale, shift, kernel, *, dilation: int,
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C_out), x.dtype),
         interpret=_interpret(),
     )(xm, xs, scm, scs, shm, shs, mean[:, None, :], rstd[:, None, :], kernel)
-    return out[:, :T, :]
+    return out[:, :T, :], mean, rstd
 
 
 def adain_conv_block_pallas(x, scale, shift, kernel1, kernel2, *,
@@ -171,9 +175,188 @@ def adain_conv_block_pallas(x, scale, shift, kernel1, kernel2, *,
                                  (x.shape[0], x.shape[1], scale.shape[-1]))
         shift = jnp.broadcast_to(shift[:, None, :],
                                  (x.shape[0], x.shape[1], shift.shape[-1]))
-    h = _mod_conv_pass(x, scale[..., :C], shift[..., :C], kernel1,
-                       dilation=dilation)
-    h2 = _mod_conv_pass(h, scale[..., C:], shift[..., C:], kernel2,
-                        dilation=1)
+    h, _, _ = _mod_conv_pass(x, scale[..., :C], shift[..., :C], kernel1,
+                             dilation=dilation)
+    h2, _, _ = _mod_conv_pass(h, scale[..., C:], shift[..., C:], kernel2,
+                              dilation=1)
     return ((x.astype(jnp.float32) + h2.astype(jnp.float32))
             * np.float32(1.0 / np.sqrt(2.0))).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dedicated backward (flash-style: saved stats, fused bwd-data kernels)
+# ---------------------------------------------------------------------------
+#
+# Per fused pass  c = conv(silu(n·(1+s)+b), W, dil),  n = (x-μ)ρ:
+#   da[u] = Σ_k dc[u + k·dil - halo] @ Wb[k],  Wb[k] = W[K-1-k]^T
+#           (conv-bwd-data: SAME structure as the forward tap-matmul)
+#   dh    = da · silu'(h_pre)                     [fused into the same kernel]
+#   dn    = dh (1+s);   ds = dh n;   db = dh      [cheap XLA-fused elementwise]
+#   dx    = ρ (dn - mean_T dn - n · mean_T(dn n)) [instance-norm backward]
+#   dW[k] = Σ_{b,t} a[t + k·dil - halo] ⊗ dc[t]   [pure MXU einsum in XLA]
+#
+# The Pallas kernel below carries the hot part (tap matmuls + silu'/adain
+# recompute, no da materialization); stats means, weight grads, and the
+# elementwise tails are XLA-fused reductions/matmuls already at peak.
+
+
+def _bwd_data_kernel(dc_ref, dch_ref, x_ref, s_ref, b_ref, mean_ref,
+                     rstd_ref, wb_ref, o_ref, *, block_t: int, halo: int,
+                     taps: tuple[int, ...], t_total: int):
+    """dh block = (Σ_k dc_window[off_k] @ Wb[k]) · silu'(h_pre)."""
+    i = pl.program_id(1)
+    strip = dch_ref[0, 0, :, :]
+    parts = [strip[:halo, :], dc_ref[0, :, :], strip[halo:, :]]
+    window = jnp.concatenate(parts, axis=0)          # (block_t + 2*halo, Co)
+    win = block_t + 2 * halo
+    pos = i * block_t - halo + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+    window = jnp.where((pos >= 0) & (pos < t_total), window, 0.0)
+
+    acc = jnp.zeros((block_t, o_ref.shape[-1]), jnp.float32)
+    for k, off in enumerate(taps):
+        acc += jax.lax.dot_general(
+            window[off: off + block_t, :], wb_ref[k, :, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    x = x_ref[0, :, :].astype(jnp.float32)
+    s = s_ref[0, :, :].astype(jnp.float32)
+    b = b_ref[0, :, :].astype(jnp.float32)
+    n = (x - mean_ref[0, 0, :][None, :]) * rstd_ref[0, 0, :][None, :]
+    h_pre = n * (1.0 + s) + b
+    sig = jax.nn.sigmoid(h_pre)
+    dsilu = sig * (1.0 + h_pre * (1.0 - sig))
+    o_ref[0, :, :] = (acc * dsilu).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "block_t"))
+def _bwd_data_mod_pass(dc, x, scale, shift, mean, rstd, kernel, *,
+                       dilation: int, block_t: int = 512):
+    """dh = conv_bwd_data(dc, W) · silu'(adain pre-activation of x)."""
+    B, T, C_out = dc.shape
+    K = kernel.shape[0]
+    C_in = kernel.shape[1]
+    halo = ((K - 1) * dilation) // 2
+    wb = jnp.transpose(jnp.flip(kernel, axis=0), (0, 2, 1))  # (K, Co, Ci)
+
+    bt = min(block_t, T)
+    for cand in (block_t, 384, 256, 128, 64, 32, 16, 8):
+        if cand <= T and T % cand == 0:
+            bt = cand
+            break
+    n_blocks = -(-T // bt)
+    T_pad = n_blocks * bt
+    taps = tuple(k * dilation for k in range(K))
+
+    if T_pad == T:
+        left = (jnp.arange(n_blocks)[:, None] * bt
+                + jnp.arange(-halo, 0)[None, :])
+        right = (jnp.arange(n_blocks)[:, None] * bt + bt
+                 + jnp.arange(halo)[None, :])
+        idx = jnp.clip(jnp.concatenate([left, right], axis=1), 0, T - 1)
+        dcm, dcs = dc, dc[:, idx, :]
+        xm, sm, bm = x, scale, shift
+    else:
+        dcp = jnp.pad(dc, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
+        dcm = dcp[:, halo: halo + T_pad, :]
+        dcs = _halo_strips(dcp, n_blocks, bt, halo)
+        pad3 = ((0, 0), (0, T_pad - T), (0, 0))
+        xm, sm, bm = (jnp.pad(a, pad3) for a in (x, scale, shift))
+
+    kern = functools.partial(_bwd_data_kernel, block_t=bt, halo=halo,
+                             taps=taps, t_total=T)
+    blk = lambda b, i: (b, i, 0)            # noqa: E731
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bt, C_out), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * halo, C_out), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, C_in), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, C_in), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, C_in), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C_in), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C_in), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C_out, C_in), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, C_in), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_pad, C_in), dc.dtype),
+        interpret=_interpret(),
+    )(dcm, dcs, xm, sm, bm, mean[:, None, :], rstd[:, None, :], wb)
+    return out[:, :T, :]
+
+
+def _conv_wgrad(a, dc, K: int, dilation: int):
+    """dW[k] = Σ_{b,t} a[b, t + k·dil - halo] ⊗ dc[b, t]  (K MXU matmuls)."""
+    halo = ((K - 1) * dilation) // 2
+    ap = jnp.pad(a, ((0, 0), (halo, halo), (0, 0)))
+    T = dc.shape[1]
+    dcf = dc.astype(jnp.float32)
+    return jnp.stack([
+        jnp.einsum("btc,btd->cd", ap[:, k * dilation: k * dilation + T, :]
+                   .astype(jnp.float32), dcf)
+        for k in range(K)], axis=0)
+
+
+def _norm_bwd(dh, x, s, mean, rstd):
+    """Instance-norm(+adain modulation) backward: dn -> dx; also ds, db."""
+    xf = x.astype(jnp.float32)
+    n = (xf - mean[:, None, :]) * rstd[:, None, :]
+    dhf = dh.astype(jnp.float32)
+    dn = dhf * (1.0 + s.astype(jnp.float32))
+    m1 = jnp.mean(dn, axis=1, keepdims=True)
+    m2 = jnp.mean(dn * n, axis=1, keepdims=True)
+    dx = rstd[:, None, :] * (dn - m1 - n * m2)
+    return dx, dhf * n, dhf, n
+
+
+def _silu_act(n, s, b):
+    h_pre = n * (1.0 + s.astype(jnp.float32)) + b.astype(jnp.float32)
+    return h_pre * jax.nn.sigmoid(h_pre)
+
+
+def adain_conv_block_fwd_pallas(x, scale, shift, kernel1, kernel2, *,
+                                dilation: int = 1):
+    """Forward returning (y, residuals); scale/shift must be (B, T, 2C)."""
+    C = x.shape[-1]
+    h, mean_x, rstd_x = _mod_conv_pass(x, scale[..., :C], shift[..., :C],
+                                       kernel1, dilation=dilation)
+    h2, mean_h, rstd_h = _mod_conv_pass(h, scale[..., C:], shift[..., C:],
+                                        kernel2, dilation=1)
+    y = ((x.astype(jnp.float32) + h2.astype(jnp.float32))
+         * np.float32(1.0 / np.sqrt(2.0))).astype(x.dtype)
+    return y, (x, scale, shift, kernel1, kernel2, h,
+               mean_x, rstd_x, mean_h, rstd_h)
+
+
+def adain_conv_block_bwd_pallas(res, g, *, dilation: int = 1):
+    """-> (dx, dscale, dshift, dkernel1, dkernel2); see derivation above."""
+    x, scale, shift, k1, k2, h, mean_x, rstd_x, mean_h, rstd_h = res
+    C = x.shape[-1]
+    K = k1.shape[0]
+    s1, s2 = scale[..., :C], scale[..., C:]
+    b1, b2 = shift[..., :C], shift[..., C:]
+    inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
+    dc2 = (g.astype(jnp.float32) * inv_sqrt2).astype(g.dtype)
+
+    # pass 2 (dilation 1): dh2 -> dc1, ds2, db2, dW2
+    dh2 = _bwd_data_mod_pass(dc2, h, s2, b2, mean_h, rstd_h, k2, dilation=1)
+    dc1_f, ds2, db2, n_h = _norm_bwd(dh2, h, s2, mean_h, rstd_h)
+    dc1 = dc1_f.astype(g.dtype)
+    a1 = _silu_act(n_h, s2, b2)
+    dW2 = _conv_wgrad(a1, dc2, K, 1)
+
+    # pass 1 (dilated): dh1 -> dx, ds1, db1, dW1
+    dh1 = _bwd_data_mod_pass(dc1, x, s1, b1, mean_x, rstd_x, k1,
+                             dilation=dilation)
+    dx_n, ds1, db1, n_x = _norm_bwd(dh1, x, s1, mean_x, rstd_x)
+    a0 = _silu_act(n_x, s1, b1)
+    dW1 = _conv_wgrad(a0, dc1, K, dilation)
+
+    dx = (g.astype(jnp.float32) * inv_sqrt2 + dx_n).astype(x.dtype)
+    dscale = jnp.concatenate([ds1, ds2], axis=-1).astype(scale.dtype)
+    dshift = jnp.concatenate([db1, db2], axis=-1).astype(shift.dtype)
+    return dx, dscale, dshift, dW1.astype(k1.dtype), dW2.astype(k2.dtype)

@@ -6,11 +6,13 @@
 branch on backend themselves (SURVEY.md §2.3: "Every Pallas kernel must have
 an XLA-composed twin behind one switch").
 
-Autodiff: Pallas kernels carry custom VJPs whose backward re-derives the
-gradient through the XLA twin (numerically interchangeable — the twins are
-allclose-gated).  Training therefore works with ``use_pallas=True``; the
-forward stays on the hand-written kernels.  Dedicated backward kernels
-(flash-attention-style dq/dk/dv) are a future optimization.
+Autodiff: every Pallas kernel carries a custom VJP.  Chunk-local attention
+and the fused AdaIN-conv block have DEDICATED Pallas backward kernels
+(flash-style dq/dk/dv with saved log-sum-exp; saved-stats dX/dscale/dshift/
+dW for the conv block); the remaining ops (full attention, transposed conv,
+iSTFT) re-derive the gradient through the XLA twin (numerically
+interchangeable — the twins are allclose-gated), which is already the fast
+path for those shapes.  Training works with ``use_pallas=True`` throughout.
 """
 from __future__ import annotations
 
@@ -131,7 +133,7 @@ def _adain_conv_xla(x, scale, shift, kernel1, kernel2, *, dilation: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _adain_conv_ad(dilation: int):
+def _adain_conv_ad(dilation: int, pallas_bwd: bool):
     from styletts_zs_tpu.kernels import decoder_kernels
 
     @jax.custom_vjp
@@ -139,13 +141,24 @@ def _adain_conv_ad(dilation: int):
         return decoder_kernels.adain_conv_block_pallas(
             x, scale, shift, k1, k2, dilation=dilation)
 
-    def fwd(x, scale, shift, k1, k2):
-        return f(x, scale, shift, k1, k2), (x, scale, shift, k1, k2)
+    if pallas_bwd:
+        # dedicated backward: saved instance stats + Pallas fused
+        # conv-bwd-data passes (decoder_kernels derivation comment)
+        def fwd(x, scale, shift, k1, k2):
+            return decoder_kernels.adain_conv_block_fwd_pallas(
+                x, scale, shift, k1, k2, dilation=dilation)
 
-    def bwd(res, g):
-        _, vjp = jax.vjp(
-            functools.partial(_adain_conv_xla, dilation=dilation), *res)
-        return vjp(g)
+        def bwd(res, g):
+            return decoder_kernels.adain_conv_block_bwd_pallas(
+                res, g, dilation=dilation)
+    else:
+        def fwd(x, scale, shift, k1, k2):
+            return f(x, scale, shift, k1, k2), (x, scale, shift, k1, k2)
+
+        def bwd(res, g):
+            _, vjp = jax.vjp(
+                functools.partial(_adain_conv_xla, dilation=dilation), *res)
+            return vjp(g)
 
     f.defvjp(fwd, bwd)
     return f
@@ -154,8 +167,19 @@ def _adain_conv_ad(dilation: int):
 def adain_conv_block(x, scale, shift, kernel1, kernel2, *, dilation: int = 1,
                      use_pallas: bool = False):
     """Fused AdaIN → SiLU → conv ×2 residual block (decoder hot path)."""
-    if use_pallas:
-        return _adain_conv_ad(dilation)(x, scale, shift, kernel1, kernel2)
+    # the fused kernels assume a symmetric conv halo ((K-1)*dil even —
+    # always true for the K=5 blocks the models build); anything else is a
+    # degenerate size where the XLA twin is the correct path
+    symmetric = (((kernel1.shape[0] - 1) * dilation) % 2 == 0
+                 and (kernel2.shape[0] - 1) % 2 == 0)
+    if use_pallas and symmetric:
+        if scale.ndim == 2:  # global style: broadcast OUTSIDE the custom
+            # VJP so autodiff inserts the sum-over-T cotangent itself
+            tgt = (x.shape[0], x.shape[1], scale.shape[-1])
+            scale = jnp.broadcast_to(scale[:, None, :], tgt)
+            shift = jnp.broadcast_to(shift[:, None, :], tgt)
+        return _adain_conv_ad(dilation, True)(x, scale, shift,
+                                              kernel1, kernel2)
     return _adain_conv_xla(x, scale, shift, kernel1, kernel2,
                            dilation=dilation)
 

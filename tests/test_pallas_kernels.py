@@ -230,6 +230,37 @@ def test_local_attention_pallas_backward_kernels():
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("dilation", [1, 3])
+@pytest.mark.parametrize("tv_style", [False, True])
+def test_adain_conv_block_backward_kernels(dilation, tv_style):
+    """Dedicated saved-stats bwd kernels match XLA-twin grads on ALL inputs."""
+    B, T, C, K = 2, 96, 16, 5
+    x = _rand((B, T, C), 0)
+    if tv_style:
+        sc = _rand((B, T, 2 * C), 1, 0.2)
+        sh = _rand((B, T, 2 * C), 2, 0.2)
+    else:
+        sc = _rand((B, 2 * C), 1, 0.2)
+        sh = _rand((B, 2 * C), 2, 0.2)
+    k1 = _rand((K, C, C), 3, 0.1)
+    k2 = _rand((K, C, C), 4, 0.1)
+
+    def loss(up):
+        def f(x, sc, sh, k1, k2):
+            y = dispatch.adain_conv_block(x, sc, sh, k1, k2,
+                                          dilation=dilation, use_pallas=up)
+            return jnp.sum(jnp.sin(y))  # non-symmetric cotangent
+        return f
+
+    gp = jax.grad(loss(True), argnums=(0, 1, 2, 3, 4))(x, sc, sh, k1, k2)
+    gx = jax.grad(loss(False), argnums=(0, 1, 2, 3, 4))(x, sc, sh, k1, k2)
+    for a, b, name in zip(gp, gx, ["x", "scale", "shift", "k1", "k2"]):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
 def test_local_attention_fwd_lse_matches_plain():
     B, T, H, D = 1, 384, 2, 16
     chunk = 128
