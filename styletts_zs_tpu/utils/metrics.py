@@ -78,11 +78,40 @@ def slope_time(fn, args, *, k_lo: int = 2, k_hi: int = 12) -> float:
     """Per-call device time of ``fn(*args)`` via the slope method (see module
     docstring).  ``args`` is a tuple, or a callable ``i -> tuple`` to vary
     arguments per dispatch.  Warms up (compiles) first; returns seconds/call.
+
+    CAUTION: if every dispatch is IDENTICAL (same executable, same input
+    buffers), the remote runtime can coalesce them and the slope collapses
+    to ~0 (observed: a 43-GFLOP kernel "measured" at 1.9 us).  Vary an
+    argument per dispatch (e.g. a PRNG key), or use ``slope_time_chained``.
     """
     args_for = args if callable(args) else (lambda i: args)
     force_fetch(fn(*args_for(0)))  # warm both fn and the fetch program
     t_lo = _run_chain(fn, args_for, k_lo)
     t_hi = _run_chain(fn, args_for, k_hi)
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def slope_time_chained(step, carry, static_args=(), *, k_lo: int = 2,
+                       k_hi: int = 12) -> float:
+    """Slope-method timing with a data-dependency chain: ``step`` maps
+    ``(carry, *static_args) -> carry`` and dispatch i consumes dispatch
+    i-1's output.  This defeats the runtime's coalescing of identical
+    dispatches (see ``slope_time`` caution) — the robust way to time a
+    single kernel.  ``step`` should be jitted; carry is any pytree.
+    """
+    warm = step(carry, *static_args)
+    force_fetch(warm)
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        c = carry
+        for _ in range(k):
+            c = step(c, *static_args)
+        force_fetch(c)
+        return time.perf_counter() - t0
+
+    t_lo = run(k_lo)
+    t_hi = run(k_hi)
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 

@@ -84,6 +84,69 @@ def test_metadata_all_gather_shard_map():
                                 int(np.sum(np.asarray(lengths) > 256))]
 
 
+def test_stage1_train_step_dp_equivalence():
+    """REAL program DP correctness: Stage1Trainer.train_step on a data=8
+    mesh produces the same metrics as the unsharded step (VERDICT r1 §6a)."""
+    from styletts_zs_tpu.pipelines import train as train_lib
+    from styletts_zs_tpu.pipelines.data import SyntheticDataset
+    from styletts_zs_tpu.pipelines.factory import init_params
+    from styletts_zs_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), with_discriminator=True)
+    trainer = train_lib.Stage1Trainer(cfg)
+    ds = SyntheticDataset(cfg.model, batch_size=8, seed=0, n_frames=64,
+                          text_len=16)
+    batch = ds.next_batch()
+    rng = jax.random.PRNGKey(7)
+
+    _, m_ref = trainer.train_step(trainer.init_state(params),
+                                  train_lib.batch_to_device(batch), rng)
+    m_ref = {k: float(v) for k, v in m_ref.items()}
+
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    rep = mesh_lib.replicated(mesh)
+    state = jax.device_put(trainer.init_state(params), rep)
+    batch_sh = train_lib.batch_to_device(batch, mesh_lib.batch_sharding(mesh))
+    _, m_sh = trainer.train_step(state, batch_sh, jax.device_put(rng, rep))
+    for k, v in m_sh.items():
+        np.testing.assert_allclose(float(v), m_ref[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=f"metric {k} diverges under DP")
+
+
+def test_synthesis_dp_equivalence():
+    """REAL program DP correctness: the fused synthesis program sharded
+    data=8 produces mel allclose to the unsharded run (VERDICT r1 §6b)."""
+    from styletts_zs_tpu.pipelines.factory import init_params
+    from styletts_zs_tpu.pipelines.infer import make_synthesis_fn
+    from styletts_zs_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    m = cfg.model
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_synthesis_fn(cfg, one_step=True, with_vocoder=True,
+                                   n_frames=m.max_frames))
+    B, Tt = 8, m.max_text_len
+    rng = jax.random.PRNGKey(0)
+    ref_frames = 3 * m.audio.sample_rate // m.audio.hop_length
+    args = (jax.random.randint(rng, (B, Tt), 1, 40),
+            jnp.full((B,), Tt, jnp.int32),
+            jax.random.normal(rng, (B, ref_frames, m.audio.n_mels)) * 0.5,
+            jnp.full((B,), ref_frames, jnp.int32))
+    out_ref, wav_ref = fn(params, *args, rng)
+
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    bs = mesh_lib.batch_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+    out_sh, wav_sh = fn(jax.device_put(params, rep),
+                        *[jax.device_put(a, bs) for a in args],
+                        jax.device_put(rng, rep))
+    np.testing.assert_allclose(np.asarray(out_sh.mel), np.asarray(out_ref.mel),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(wav_sh), np.asarray(wav_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_bucketing_plan():
     lengths = np.array([100, 200, 300, 600, 1500, 5000])
     hist = bucketing.bucket_histogram(lengths)
