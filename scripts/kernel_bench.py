@@ -2,12 +2,14 @@
 
 Substantiates the "speed-of-light per chip" obligation (``BASELINE.json:5``)
 with measured per-kernel times and roofline estimates against v5e peak
-(~394 bf16 TFLOP/s MXU, ~819 GB/s HBM — SURVEY.md §5.1) for ALL five
+(~197 bf16 TFLOP/s MXU, ~819 GB/s HBM; SURVEY.md §5.1 said 394 — that is the int8 peak) for ALL five
 mandated kernel families (attention fwd+bwd, AdaIN-conv fwd+bwd, transposed
 conv, iSTFT head, fused sampler tail).
 
-Timing: ``styletts_zs_tpu.utils.metrics.slope_time`` (slope method; the
-runtime's block_until_ready is a no-op).
+Timing: ``styletts_zs_tpu.utils.metrics.slope_time_jittered`` (chained
+slope method with a never-repeating carry; the runtime's block_until_ready
+is a no-op AND it coalesces dispatches whose input values repeat, so plain
+repeated-args timing under-reports — CLAUDE.md timing rules).
 
 Run:  python scripts/kernel_bench.py            (one JSON line per kernel)
 """
@@ -24,7 +26,7 @@ sys.path.insert(0, ".")
 
 from styletts_zs_tpu.utils import metrics as metrics_lib  # noqa: E402
 
-V5E_BF16_TFLOPS = 394e12
+V5E_BF16_TFLOPS = 197e12  # v5e bf16 peak (394 is the int8 number)
 V5E_HBM_BPS = 819e9
 
 
@@ -34,8 +36,9 @@ def _rand(shape, seed=0, dtype=jnp.float32, scale=1.0):
 
 
 def timeit(fn, *args, iters=50):
-    return metrics_lib.slope_time(fn, args, k_lo=max(2, iters // 10),
-                                  k_hi=iters)
+    """Chained timing: first arg is the carry, the rest are static."""
+    return metrics_lib.slope_time_jittered(
+        fn, args[0], args[1:], k_lo=max(2, iters // 10), k_hi=iters)
 
 
 def report(name, t_pallas, t_xla, flops=None, bytes_moved=None):
@@ -110,7 +113,10 @@ def bench_adain_conv(dtype=jnp.bfloat16):
     bytes_moved = (B * T * C * 10) * (2 if dtype == jnp.bfloat16 else 4)
     report("adain_conv_block", tp, tx, flops, bytes_moved)
 
-    # dedicated saved-stats backward vs XLA-twin backward
+    # production route (XLA fwd + dedicated Pallas saved-stats backward)
+    # vs straight autodiff of the XLA twin
+    import functools as _ft
+
     def mk(f):
         def loss(x, sc, sh, k1, k2):
             return jnp.sum(f(x, sc, sh, k1, k2).astype(jnp.float32))
@@ -118,9 +124,9 @@ def bench_adain_conv(dtype=jnp.bfloat16):
 
     tp = timeit(mk(dispatch._adain_conv_ad(3, True)), x, sc, sh, k1, k2,
                 iters=20)
-    tx = timeit(mk(dispatch._adain_conv_ad(3, False)), x, sc, sh, k1, k2,
-                iters=20)
-    report("adain_conv_bwd", tp, tx, 2 * flops)
+    tx = timeit(mk(_ft.partial(dispatch._adain_conv_xla, dilation=3)),
+                x, sc, sh, k1, k2, iters=20)
+    report("adain_conv_fwd_plus_bwd", tp, tx, 3 * flops)
 
 
 def bench_conv_transpose(dtype=jnp.bfloat16):
@@ -139,19 +145,38 @@ def bench_conv_transpose(dtype=jnp.bfloat16):
 
 
 def bench_istft():
+    """iSTFT head measured through the mag/phase epilogue, as prod runs it.
+
+    Standalone (B, F, 9) real/imag arguments are NOT prod-realistic: XLA
+    lane-pads the 9-wide minor dim to 128 in HBM (14x inflation), so a
+    standalone comparison mostly times that relayout.  In the fused program
+    the head conv's epilogue (exp/rsqrt + packing) fuses into one pass, so
+    both paths here consume the same (B, F, 27) head tensor through the
+    identical epilogue (models/vocoder.py:79-87).
+    """
     from styletts_zs_tpu.kernels import vocoder_kernels
     from styletts_zs_tpu.ops import stft as stft_ops
     from styletts_zs_tpu.utils.config import AudioConfig
     B, F = 8, 76800  # 1024 mel frames * 75 upsample
-    re = _rand((B, F, 9), 0)
-    im = _rand((B, F, 9), 1)
+    head = _rand((B, F, 27), 0)
     cfg = AudioConfig(n_fft=16, win_length=16, hop_length=4)
-    f_p = jax.jit(lambda r, i: vocoder_kernels.istft_pallas(
-        r, i, n_fft=16, hop=4))
-    f_x = jax.jit(lambda r, i: stft_ops.istft(r, i, cfg))
-    tp = timeit(f_p, re, im, iters=20)
-    tx = timeit(f_x, re, im, iters=20)
-    bytes_moved = B * F * (18 * 4 + 4 * 4)
+
+    def epilogue(head):
+        logmag, pc, ps = jnp.split(head, 3, axis=-1)
+        mag = jnp.exp(jnp.clip(logmag.astype(jnp.float32), -12.0, 6.0))
+        norm = jax.lax.rsqrt(pc.astype(jnp.float32) ** 2
+                             + ps.astype(jnp.float32) ** 2 + 1e-7)
+        return mag * pc * norm, mag * ps * norm
+
+    def f_p(head):
+        return vocoder_kernels.istft_pallas(*epilogue(head), n_fft=16, hop=4)
+
+    def f_x(head):
+        return stft_ops.istft(*epilogue(head), cfg)
+
+    tp = timeit(jax.jit(f_p), head, iters=20)
+    tx = timeit(jax.jit(f_x), head, iters=20)
+    bytes_moved = B * F * (27 * 4 + 4 * 4)
     report("istft_overlap_add", tp, tx, None, bytes_moved)
 
 

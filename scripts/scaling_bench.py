@@ -49,7 +49,12 @@ def run_for_mesh(n_dev: int, *, batch_per_dev: int, cfg, params, base=None):
     from styletts_zs_tpu.utils import metrics as metrics_lib
     out, wav = fn(*args)
     k_lo, k_hi = (2, 8) if jax.default_backend() == "tpu" else (1, 4)
-    dt = metrics_lib.slope_time(fn, args, k_lo=k_lo, k_hi=k_hi)
+
+    def args_for(i):  # vary the PRNG key per dispatch: identical repeated
+        # dispatches get coalesced by the remote runtime (CLAUDE.md rule 3)
+        return (*args[:-1], jax.random.PRNGKey(i))
+
+    dt = metrics_lib.slope_time(fn, args_for, k_lo=k_lo, k_hi=k_hi)
     # synthesized capacity (program output length), like bench.py — NOT
     # predicted frame_lengths, which are ~0 under random-init params
     audio_s = B * wav.shape[1] / m.audio.sample_rate

@@ -32,6 +32,7 @@ def main():
     args = ap.parse_args()
 
     from styletts_zs_tpu.pipelines import train as T
+    from styletts_zs_tpu.pipelines import eval as E
     from styletts_zs_tpu.pipelines.checkpoint import save_params
     from styletts_zs_tpu.pipelines.data import SyntheticDataset
     from styletts_zs_tpu.pipelines.eval import speaker_similarity
@@ -52,6 +53,14 @@ def main():
                          with_discriminator=True)
     ds = SyntheticDataset(cfg.model, batch_size=cfg.train.batch_size,
                           seed=cfg.train.seed, n_frames=n_frames)
+    # held-out utterances (disjoint seed -> disjoint synthetic speakers/texts)
+    # for the stage-boundary quality gates (VERDICT r1 item 8)
+    eval_batch = SyntheticDataset(
+        cfg.model, batch_size=cfg.train.batch_size,
+        seed=cfg.train.seed + 10_000, n_frames=n_frames).next_batch()
+    quality: dict = {"config": "tiny" if args.tiny else "full",
+                     "held_out_batch": cfg.train.batch_size,
+                     "steps": [args.steps1, args.steps2, args.steps3]}
     rng = jax.random.PRNGKey(cfg.train.seed)
 
     def log(stage, step, metrics):
@@ -70,6 +79,9 @@ def main():
             log("1", step, metrics)
     acoustic_final = s1.ema_params
     save_params(f"{args.workdir}/stage1", acoustic_final)
+    quality["stage1"] = E.evaluate_acoustic(cfg, acoustic_final, eval_batch)
+    print(json.dumps({"quality_gate": "stage1", **quality["stage1"]}),
+          flush=True)
     print(f"stage 1 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- stage 2: style latent diffusion ------------------------------
@@ -85,6 +97,11 @@ def main():
             log("2", step, metrics)
     teacher = s2["ema"]
     save_params(f"{args.workdir}/stage2", teacher)
+    rng, sub = jax.random.split(rng)
+    quality["stage2"] = E.evaluate_diffusion(
+        cfg, acoustic_final["acoustic"], teacher, eval_batch, sub)
+    print(json.dumps({"quality_gate": "stage2", **quality["stage2"]}),
+          flush=True)
     print(f"stage 2 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- stage 3: 1-step distillation (A7: ~10k samples) --------------
@@ -99,6 +116,12 @@ def main():
                                      batch, sub)
         if step % args.eval_every == 0:
             log("3", step, metrics)
+    rng, sub = jax.random.split(rng)
+    quality["stage3"] = E.evaluate_distill_gap(
+        cfg, acoustic_final["acoustic"], teacher, s3["params"], eval_batch,
+        sub)
+    print(json.dumps({"quality_gate": "stage3", **quality["stage3"]}),
+          flush=True)
     print(f"stage 3 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- final bundle + smoke synthesis ------------------------------
@@ -116,10 +139,18 @@ def main():
         n_frames=n_frames)
     sim = speaker_similarity(cfg, bundle["acoustic"], wav,
                              jnp.asarray(batch.ref_wav[:2, : wav.shape[1]]))
+    quality["final"] = {
+        "synthesis_shape": str(wav.shape),
+        "speaker_sim_proxy": [round(float(s), 3) for s in sim],
+    }
+    report_path = f"{args.workdir}/quality_report.json"
+    with open(report_path, "w") as f:
+        json.dump(quality, f, indent=1)
     print(json.dumps({"final_synthesis": str(wav.shape),
                       "speaker_sim_proxy": [round(float(s), 3) for s in sim]}),
           flush=True)
-    print("pipeline complete; bundle at", f"{args.workdir}/final")
+    print("pipeline complete; bundle at", f"{args.workdir}/final; "
+          f"quality report at {report_path}")
 
 
 if __name__ == "__main__":

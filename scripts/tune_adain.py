@@ -29,7 +29,7 @@ from styletts_zs_tpu.kernels import decoder_kernels as DK          # noqa: E402
 from styletts_zs_tpu.kernels import dispatch                        # noqa: E402
 from styletts_zs_tpu.utils import metrics as metrics_lib            # noqa: E402
 
-V5E_BF16_TFLOPS = 394e12
+V5E_BF16_TFLOPS = 197e12  # v5e bf16 peak (394 is the int8 number)
 
 
 def _rand(shape, seed=0, dtype=jnp.bfloat16, scale=1.0):

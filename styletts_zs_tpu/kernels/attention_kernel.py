@@ -169,6 +169,13 @@ def full_attention_pallas(q, k, v, *, kv_mask=None):
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     q_block = 128 if Tq % 128 == 0 else (Tq if Tq <= 512 else None)
+    # VMEM guard: the kernel holds full K/V plus (q_block, Tk) fp32 score
+    # tiles per block — fine for the short contexts it serves (prompt
+    # tokens, style codes, text cross-attention), but a long-form caller
+    # must go through chunk-local attention; past this bound the XLA twin
+    # is the safe path rather than a Mosaic VMEM OOM.
+    if Tk > 2048:
+        q_block = None
     if q_block is None:
         from styletts_zs_tpu.ops import attention as attn_ops
         return attn_ops.cross_attention(q, k, v, kv_mask=kv_mask)

@@ -332,6 +332,33 @@ def adain_conv_block_fwd_pallas(x, scale, shift, kernel1, kernel2, *,
                mean_x, rstd_x, mean_h, rstd_h)
 
 
+def adain_conv_block_fwd_xla(x, scale, shift, kernel1, kernel2, *,
+                             dilation: int = 1):
+    """XLA forward producing the same residuals as the Pallas fwd.
+
+    Measured win-or-yield (scripts/tune_adain.py on the real v5e, chained
+    slope timing at prod shapes B8·T1024·C512·K5): XLA's fused conv forward
+    beats the Pallas fwd kernel (448 vs 534 us) while the dedicated Pallas
+    BACKWARD beats the differentiated twin (890 vs 1032 us).  Dispatch
+    therefore pairs this forward with ``adain_conv_block_bwd_pallas`` —
+    each direction takes its measured winner.  scale/shift: (B, T, 2C).
+    """
+    from styletts_zs_tpu.ops import conv as conv_ops
+    C = x.shape[-1]
+    mean_x, rstd_x = _instance_stats(x)
+    n_x = (x.astype(jnp.float32) - mean_x[:, None, :]) * rstd_x[:, None, :]
+    a0 = _silu_act(n_x, scale[..., :C], shift[..., :C]).astype(x.dtype)
+    h = conv_ops.conv1d(a0, kernel1, dilation=dilation)
+    mean_h, rstd_h = _instance_stats(h)
+    n_h = (h.astype(jnp.float32) - mean_h[:, None, :]) * rstd_h[:, None, :]
+    a1 = _silu_act(n_h, scale[..., C:], shift[..., C:]).astype(h.dtype)
+    h2 = conv_ops.conv1d(a1, kernel2, dilation=1)
+    y = ((x.astype(jnp.float32) + h2.astype(jnp.float32))
+         * np.float32(1.0 / np.sqrt(2.0))).astype(x.dtype)
+    return y, (x, scale, shift, kernel1, kernel2, h,
+               mean_x, rstd_x, mean_h, rstd_h)
+
+
 def adain_conv_block_bwd_pallas(res, g, *, dilation: int = 1):
     """-> (dx, dscale, dshift, dkernel1, dkernel2); see derivation above."""
     x, scale, shift, k1, k2, h, mean_x, rstd_x, mean_h, rstd_h = res

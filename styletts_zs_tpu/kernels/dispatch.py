@@ -13,6 +13,20 @@ dW for the conv block); the remaining ops (full attention, transposed conv,
 iSTFT) re-derive the gradient through the XLA twin (numerically
 interchangeable — the twins are allclose-gated), which is already the fast
 path for those shapes.  Training works with ``use_pallas=True`` throughout.
+
+WIN-OR-YIELD routing (VERDICT r1 item 4): ``use_pallas=True`` means "use
+the measured winner per kernel and direction", so it never selects a path
+slower than the twin.  Measured on the real v5e with chained slope timing
+(scripts/tune_adain.py, scripts/kernel_bench.py; prod shapes):
+
+  kernel               direction  winner   routing under use_pallas=True
+  chunk-local attn     fwd+bwd    Pallas   Pallas fwd + flash-style bwd
+  full attn (short Tk) fwd+bwd    XLA      XLA twin (Pallas measured 0.4x)
+  AdaIN conv block     fwd        XLA      XLA fwd (448 vs 534 us)
+  AdaIN conv block     bwd        Pallas   dedicated bwd (890 vs 1032 us)
+  transposed conv      fwd+bwd    XLA      XLA twin (162 vs 290 us fwd)
+  iSTFT overlap-add    fwd        Pallas   Pallas super-frame kernel
+  sampler CFG tail     fwd        Pallas   Pallas fused step
 """
 from __future__ import annotations
 
@@ -106,11 +120,16 @@ def _full_attention_ad(has_mask: bool):
 def full_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    kv_mask: jax.Array | None = None,
                    use_pallas: bool = False) -> jax.Array:
-    """Full (cross- or self-) attention (B, Tq, H, D) x (B, Tk, H, D)."""
-    if use_pallas:
-        has_mask = kv_mask is not None
-        mask = kv_mask if has_mask else jnp.ones(k.shape[:2], bool)
-        return _full_attention_ad(has_mask)(q, k, v, mask)
+    """Full (cross- or self-) attention (B, Tq, H, D) x (B, Tk, H, D).
+
+    Measured YIELD (module docstring table): at the short-context shapes
+    this op serves (prompt tokens, style codes, text cross-attention) the
+    Pallas kernel measured 0.4x the XLA twin with the chained slope timer
+    on v5e — the contexts are too small to amortize the kernel's VMEM
+    staging, and XLA fuses the softmax chain well here.  ``use_pallas=True``
+    therefore routes to the twin.  ``_full_attention_ad`` keeps the
+    Pallas+custom-VJP path callable for parity tests and re-measurement.
+    """
     return attn_ops.cross_attention(q, k, v, kv_mask=kv_mask)
 
 
@@ -136,22 +155,31 @@ def _adain_conv_xla(x, scale, shift, kernel1, kernel2, *, dilation: int):
 def _adain_conv_ad(dilation: int, pallas_bwd: bool):
     from styletts_zs_tpu.kernels import decoder_kernels
 
-    @jax.custom_vjp
-    def f(x, scale, shift, k1, k2):
-        return decoder_kernels.adain_conv_block_pallas(
-            x, scale, shift, k1, k2, dilation=dilation)
-
     if pallas_bwd:
-        # dedicated backward: saved instance stats + Pallas fused
-        # conv-bwd-data passes (decoder_kernels derivation comment)
+        # production route: measured winner per direction — XLA forward
+        # (beats the Pallas fwd kernel at prod shapes) + dedicated Pallas
+        # backward (saved instance stats + fused conv-bwd-data passes;
+        # decoder_kernels derivation comment)
+        @jax.custom_vjp
+        def f(x, scale, shift, k1, k2):
+            return _adain_conv_xla(x, scale, shift, k1, k2,
+                                   dilation=dilation)
+
         def fwd(x, scale, shift, k1, k2):
-            return decoder_kernels.adain_conv_block_fwd_pallas(
+            return decoder_kernels.adain_conv_block_fwd_xla(
                 x, scale, shift, k1, k2, dilation=dilation)
 
         def bwd(res, g):
             return decoder_kernels.adain_conv_block_bwd_pallas(
                 res, g, dilation=dilation)
     else:
+        # benchmark/parity route: the Pallas fwd kernel with the
+        # XLA-twin backward
+        @jax.custom_vjp
+        def f(x, scale, shift, k1, k2):
+            return decoder_kernels.adain_conv_block_pallas(
+                x, scale, shift, k1, k2, dilation=dilation)
+
         def fwd(x, scale, shift, k1, k2):
             return f(x, scale, shift, k1, k2), (x, scale, shift, k1, k2)
 
@@ -213,9 +241,17 @@ def _conv_transpose_ad(stride: int):
 
 
 def conv_transpose1d(x, kernel, *, stride: int, use_pallas: bool = False):
-    """Vocoder upsampling transposed conv."""
-    if use_pallas:
-        return _conv_transpose_ad(stride)(x, kernel)
+    """Vocoder upsampling transposed conv.
+
+    Measured YIELD (module docstring table): XLA's native transposed conv
+    beats the Pallas shift-matmul kernel at prod shapes (162 vs 290 us,
+    B8·T1024·512→256·K10·r5, chained slope timing on v5e), so
+    ``use_pallas=True`` routes to the XLA twin.  The Pallas kernel stays
+    allclose-gated (tests); the iSTFT head uses its own super-frame
+    kernel (vocoder_kernels._istft_sf_impl) rather than this one.
+    ``_conv_transpose_ad`` keeps the Pallas+custom-VJP path callable for
+    parity tests and re-measurement.
+    """
     from styletts_zs_tpu.ops import conv as conv_ops
     return conv_ops.conv_transpose1d(x, kernel, stride=stride)
 

@@ -222,13 +222,21 @@ def conv_transpose1d_pallas(x, kernel, *, stride: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def _istft_basis(n_fft: int, hop: int):
-    """Synthesis basis folded with OLA taps, matching ops.stft.istft.
+def _istft_basis_sf(n_fft: int, hop: int, P: int, n_freq_pad: int):
+    """Super-frame iSTFT bases: P frames -> P*hop output samples per row.
 
-    Returns (w_cat ((M*2*n_freq), hop*1), M) where spec rows are [re | im].
+    Derivation: with M = n_fft//hop frames overlapping each sample,
+        out[(Pt + q)*hop + phi] = sum_{m=0..M-1} frame[Pt + q - m] . syn[:, phi + hop*m]
+    Split by whether q - m falls in super-frame t (W0) or t-1 (W1):
+        W0[f*C + c, q*hop + phi] = syn[c, phi + hop*(q - f)],  0 <= q-f < M
+        W1[f*C + c, q*hop + phi] = syn[c, phi + hop*(q - f + P)], 0 <= q-f+P < M
+    where C = 2*n_freq_pad ([re | im] stacked, zero rows for lane padding).
+    Each output tile is then TWO dense (P*C, P*hop) matmuls — MXU-shaped
+    (128-wide lanes) instead of the (hop, bt) slivers of a per-phase
+    formulation, which measured ~1.8% of HBM peak.
     """
     n_freq = n_fft // 2 + 1
-    win = n_fft  # head uses win_length == n_fft
+    win = n_fft
     weights = np.full((n_freq,), 2.0, dtype=np.float32)
     weights[0] = 1.0
     if n_fft % 2 == 0:
@@ -239,20 +247,83 @@ def _istft_basis(n_fft: int, hop: int):
     win_np = stft_ops.hann_window(win).astype(np.float32)
     syn_c = (weights[:, None] * np.cos(ang) * win_np[None, :]) / n_fft
     syn_s = (weights[:, None] * np.sin(ang) * win_np[None, :]) / n_fft
-    syn = np.concatenate([syn_c, -syn_s], axis=0)      # (2*n_freq, win)
-    # OLA: out[q*hop + phi] = sum_m frame[q - m, phi + m*hop]
+    C = 2 * n_freq_pad
+    syn = np.zeros((C, win), np.float32)
+    syn[:n_freq] = syn_c
+    syn[n_freq_pad: n_freq_pad + n_freq] = -syn_s
     M = (win - 1) // hop + 1
-    blocks = []
-    for m in range(M - 1, -1, -1):  # view s=0 = oldest frame (m = M-1)
-        j0 = m * hop
-        Wm = np.zeros((2 * n_freq, hop), np.float32)
-        j1 = min(j0 + hop, win)
-        Wm[:, : j1 - j0] = syn[:, j0:j1]
-        blocks.append(Wm)
-    w_cat = np.concatenate(blocks, axis=0)             # (M*2F, hop)
-    # cache numpy, not jax arrays: a jnp constant created inside a trace is
-    # a tracer, and caching it would leak out of the transformation scope
-    return w_cat, M
+    W0 = np.zeros((P * C, P * hop), np.float32)
+    W1 = np.zeros((P * C, P * hop), np.float32)
+    for q in range(P):
+        for m in range(M):
+            j0 = m * hop
+            j1 = min(j0 + hop, win)
+            f = q - m
+            if f >= 0:
+                W0[f * C:(f + 1) * C, q * hop: q * hop + (j1 - j0)] = \
+                    syn[:, j0:j1]
+            else:
+                W1[(f + P) * C:(f + P + 1) * C,
+                   q * hop: q * hop + (j1 - j0)] = syn[:, j0:j1]
+    return W0, W1, M
+
+
+# matmul precision for the super-frame kernel (module-level so the on-chip
+# probe can sweep it; None = MXU default, i.e. bf16-truncated inputs)
+_PROBE_PRECISION = None
+
+
+def _istft_sf_kernel(xs_ref, strip_ref, w0_ref, w1_ref, env_ref, o_ref, *,
+                     precision):
+    """o = (xs @ W0 + prev_row(xs) @ W1) * inv_env  per (bt, 128) tile."""
+    xs = xs_ref[0]                                    # (bt, P*C)
+    strip = strip_ref[0, 0]                           # (1, P*C): row before
+    prev = jnp.concatenate([strip, xs[:-1, :]], axis=0)
+    acc = jax.lax.dot_general(
+        xs, w0_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    acc += jax.lax.dot_general(
+        prev, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    o_ref[0] = (acc * env_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "P", "block_t",
+                                    "precision"))
+def _istft_sf_impl(spec, inv_env, *, n_fft: int, hop: int, P: int,
+                   block_t: int = 64, precision=None):
+    """spec: (B, F_sup, P*C) super-frames -> (B, F_sup, P*hop) samples."""
+    B, F_sup, PC = spec.shape
+    W0, W1, _ = _istft_basis_sf(n_fft, hop, P, (PC // P) // 2)
+    bt = block_t
+    assert F_sup % bt == 0, (F_sup, bt)  # caller pads (istft_pallas)
+    n_blocks = F_sup // bt
+    # strip i = super-frame row i*bt - 1 (zero row for i = 0)
+    idx = jnp.maximum(jnp.arange(n_blocks) * bt - 1, 0)
+    strips = spec[:, idx, :] * (jnp.arange(n_blocks) > 0)[None, :, None]
+    strips = strips[:, :, None, :]                    # (B, n, 1, P*C)
+    out = pl.pallas_call(
+        functools.partial(_istft_sf_kernel, precision=precision),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bt, PC), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, PC), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W0.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W1.shape, lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, P * hop), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, P * hop), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F_sup, P * hop), jnp.float32),
+        interpret=_interpret(),
+    )(spec, strips, jnp.asarray(W0), jnp.asarray(W1), inv_env)
+    return out
 
 
 @functools.lru_cache(maxsize=32)
@@ -272,19 +343,40 @@ def istft_pallas(real, imag, *, n_fft: int, hop: int):
     """Pallas twin of the iSTFT head (``dispatch.istft_head`` XLA path).
 
     real/imag: (B, F, n_freq) -> wav (B, (F-1)*hop), centered trim.
+
+    Super-frame formulation (``_istft_basis_sf``): P = 128//hop frames are
+    one row, so every output tile is a dense (bt, P*2F)@(P*2F, 128) matmul
+    pair — full-width lanes on the MXU.  The previous per-phase layout
+    emitted (hop, bt) slivers and measured ~1.8% of HBM peak.
     """
     B, F, n_freq = real.shape
-    w_cat_np, M = _istft_basis(n_fft, hop)
-    w_cat = jnp.asarray(w_cat_np)
-    spec = jnp.concatenate([real, imag], axis=-1).astype(jnp.float32)
-    # extra zero frames so the block outputs cover the centered-trim region
+    P = max(1, 128 // hop)
+    if (n_fft - 1) // hop + 1 > P:  # window spans > 2 super-frames: the
+        # W0/W1 split no longer covers it (only n_fft > 128 heads; ours is 16)
+        from styletts_zs_tpu.ops import stft as _stft
+        from styletts_zs_tpu.utils.config import AudioConfig
+        cfg = AudioConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop)
+        return _stft.istft(real, imag, cfg, center=True)
     start = n_fft // 2
-    extra = -(-max(0, start + (F - 1) * hop - F * hop) // hop)
-    if extra:
-        spec = jnp.pad(spec, ((0, 0), (0, extra), (0, 0)))
-    Fp = F + extra
-    ola = _shift_matmul(spec, w_cat, r=hop, n_shift=M, left=M - 1, right=0,
-                        block_t=512)[..., 0]           # (B, Fp*hop)
-    env = jnp.asarray(_istft_env(n_fft, hop, F, Fp * hop))
-    wav = ola / env[None, :]
+    # pad frames so P divides them, the centered-trim region is covered,
+    # and the super-frame count is a multiple of the kernel block (full
+    # (block_t, 128) output tiles — an odd F_sup would otherwise force
+    # 1-row slivers).  bt=64 measured 41% of HBM peak on v5e vs 7.8% at
+    # bt=16 (scripts/probe_istft2.py); capped below for short inputs so a
+    # tiny-config call doesn't pad 3 super-frames up to 64.
+    extra = -(-start // hop) + 1
+    F_sup = -(-(F + extra) // P)
+    block_t = min(64, 1 << (F_sup - 1).bit_length())
+    F_sup = -(-F_sup // block_t) * block_t
+    F_pad = F_sup * P
+    spec = jnp.concatenate([real, imag], axis=-1).astype(jnp.float32)
+    spec = jnp.pad(spec, ((0, 0), (0, F_pad - F), (0, 0)))
+    C = 2 * n_freq
+    xs = spec.reshape(B, F_sup, P * C)
+    S_pad = F_pad * hop
+    inv_env = (1.0 / _istft_env(n_fft, hop, F, S_pad)).astype(np.float32)
+    inv_env = jnp.asarray(inv_env.reshape(F_sup, P * hop))
+    out = _istft_sf_impl(xs, inv_env, n_fft=n_fft, hop=hop, P=P,
+                         block_t=block_t, precision=_PROBE_PRECISION)
+    wav = out.reshape(B, S_pad)
     return jax.lax.dynamic_slice_in_dim(wav, start, (F - 1) * hop, axis=1)

@@ -57,6 +57,182 @@ def speaker_similarity(cfg: Config, acoustic_params, wav_a: jax.Array,
     return np.asarray(num / jnp.maximum(den, 1e-8))
 
 
+def evaluate_acoustic(cfg: Config, g_params, batch) -> dict:
+    """Stage-1 boundary quality gate on a held-out batch (VERDICT r1 item 8).
+
+    Reports the metric ladder from fully teacher-forced to fully
+    free-running so regressions localize to a subsystem:
+      - mel_mae_teacher_forced: decoder quality (gt style/durations/F0)
+      - f0_rmse / energy_rmse / mel_mae_pred_prosody: prosody predictors
+        (gt durations so frames align with the targets)
+      - dur_mae_frames / dur_exact_match: duration predictor (free-running)
+    """
+    acoustic, _, _, _ = build_models(cfg)
+    m = cfg.model
+    from styletts_zs_tpu.ops.attention import length_mask
+    phonemes = jnp.asarray(batch.phonemes)
+    durations = jnp.asarray(batch.durations)
+    mel_gt = stft_ops.mel_spectrogram(jnp.asarray(batch.wav), m.audio)
+    n_frames = batch.f0.shape[1]
+    mel_gt = mel_gt[:, :n_frames]
+    text_mask = length_mask(jnp.asarray(batch.text_lengths),
+                            phonemes.shape[1])
+    frame_mask = length_mask(jnp.asarray(batch.frame_lengths), n_frames)
+    p_ac = g_params["acoustic"]
+
+    out_tf, _, styled = acoustic.apply(
+        p_ac, phonemes, mel_gt, durations, text_mask=text_mask,
+        frame_mask=frame_mask, f0_target=jnp.asarray(batch.f0),
+        energy_target=jnp.asarray(batch.energy),
+        method=StyleTTSZS.reconstruct)
+    res = {"mel_mae_teacher_forced": mel_mae(out_tf.mel, mel_gt, frame_mask)}
+
+    # predicted prosody over ground-truth durations (frame-aligned targets)
+    out_pp = acoustic.apply(p_ac, phonemes, styled, text_mask=text_mask,
+                            durations=durations, n_frames=n_frames,
+                            method=StyleTTSZS.text_to_mel)
+    res["f0_rmse"] = f0_rmse(out_pp.f0, batch.f0, np.asarray(frame_mask))
+    em = np.asarray(frame_mask)
+    ed = (np.asarray(out_pp.energy) - batch.energy)[em]
+    res["energy_rmse"] = float(np.sqrt(np.mean(ed * ed))) if em.any() else 0.0
+    res["mel_mae_pred_prosody"] = mel_mae(out_pp.mel, mel_gt, frame_mask)
+
+    # free-running durations from the predictor
+    out_fr = acoustic.apply(p_ac, phonemes, styled, text_mask=text_mask,
+                            n_frames=n_frames, method=StyleTTSZS.text_to_mel)
+    res.update(duration_accuracy(out_fr.durations, batch.durations,
+                                 np.asarray(text_mask)))
+    return {k: round(float(v), 5) for k, v in res.items()}
+
+
+def evaluate_diffusion(cfg: Config, acoustic_params, diffusion_params, batch,
+                       rng, *, n_steps: Optional[int] = None,
+                       one_step: bool = False) -> dict:
+    """Stage-2/3 boundary gate: sampled style vs ground-truth-extracted style
+    (latent space) and decoded-mel perceptual distance (mel space)."""
+    from styletts_zs_tpu.models.diffusion import StyleDiffusion
+    from styletts_zs_tpu.ops.attention import length_mask
+    acoustic, diffusion, _, _ = build_models(cfg)
+    m = cfg.model
+    phonemes = jnp.asarray(batch.phonemes)
+    mel_gt = stft_ops.mel_spectrogram(jnp.asarray(batch.wav), m.audio)
+    n_frames = batch.f0.shape[1]
+    mel_gt = mel_gt[:, :n_frames]
+    text_mask = length_mask(jnp.asarray(batch.text_lengths),
+                            phonemes.shape[1])
+    frame_mask = length_mask(jnp.asarray(batch.frame_lengths), n_frames)
+    ref_mel = stft_ops.mel_spectrogram(jnp.asarray(batch.ref_wav), m.audio)
+
+    tokens, summary = acoustic.apply(acoustic_params, ref_mel,
+                                     method=StyleTTSZS.encode_prompt)
+    text_enc, _ = acoustic.apply(acoustic_params, phonemes, text_mask,
+                                 method=StyleTTSZS.encode_text)
+    styled_gt, _, _ = acoustic.apply(acoustic_params, mel_gt, frame_mask,
+                                     method=StyleTTSZS.extract_style)
+    if one_step:
+        style = diffusion.apply(diffusion_params, rng, text_enc, tokens,
+                                summary, text_mask=text_mask,
+                                method=StyleDiffusion.sample_onestep)
+    else:
+        style = diffusion.apply(diffusion_params, rng, text_enc, tokens,
+                                summary, text_mask=text_mask, n_steps=n_steps,
+                                method=StyleDiffusion.sample)
+
+    # decode over ground-truth durations: both paths share them, so the mel
+    # gap isolates the style pathway (free-running durations from an
+    # early-training predictor can be all-zero, which would make the masked
+    # MAE vacuously 0.0)
+    durations = jnp.asarray(batch.durations)
+
+    def decode(s, quantize):
+        if quantize:
+            s = acoustic.apply(acoustic_params, s,
+                               method=StyleTTSZS.quantize_style)
+        return acoustic.apply(acoustic_params, phonemes, s,
+                              text_mask=text_mask, durations=durations,
+                              n_frames=n_frames,
+                              method=StyleTTSZS.text_to_mel)
+
+    out_s = decode(style, True)
+    out_gt = decode(styled_gt, True)
+    latent = float(jnp.mean((style.astype(jnp.float32)
+                             - styled_gt.astype(jnp.float32)) ** 2))
+    mask = out_gt.frame_mask & out_s.frame_mask
+    # raw (unquantized) decode: the FSQ lattice is coarse, so early in
+    # training both styles can collapse to identical codes and the
+    # quantized mel gap reads exactly 0.0 — the raw gap plus the code-match
+    # rate disambiguate "identical codes" from "identical styles"
+    out_s_raw = decode(style, False)
+    out_gt_raw = decode(styled_gt, False)
+    q_s = acoustic.apply(acoustic_params, style,
+                         method=StyleTTSZS.quantize_style)
+    q_gt = acoustic.apply(acoustic_params, styled_gt,
+                          method=StyleTTSZS.quantize_style)
+    code_match = float(jnp.mean(jnp.all(
+        jnp.isclose(q_s, q_gt), axis=-1).astype(jnp.float32)))
+    return {"style_latent_mse_vs_gt": round(latent, 5),
+            "mel_mae_sampled_vs_gt_style": round(
+                mel_mae(out_s.mel, out_gt.mel, mask), 5),
+            "mel_mae_sampled_vs_gt_style_raw": round(
+                mel_mae(out_s_raw.mel, out_gt_raw.mel, mask), 5),
+            "fsq_code_match_rate": round(code_match, 4)}
+
+
+def evaluate_distill_gap(cfg: Config, acoustic_params, teacher_params,
+                         student_params, batch, rng, *,
+                         n_teacher_steps: Optional[int] = None) -> dict:
+    """A7 quality-preservation gate: teacher (multi-step) vs distilled
+    student (1-step) from identical noise/conditioning — latent MSE and
+    perceptual (decoded-mel L1) gap."""
+    from styletts_zs_tpu.models.diffusion import StyleDiffusion
+    from styletts_zs_tpu.ops.attention import length_mask
+    acoustic, diffusion, _, _ = build_models(cfg)
+    m = cfg.model
+    phonemes = jnp.asarray(batch.phonemes)
+    text_mask = length_mask(jnp.asarray(batch.text_lengths),
+                            phonemes.shape[1])
+    ref_mel = stft_ops.mel_spectrogram(jnp.asarray(batch.ref_wav), m.audio)
+    tokens, summary = acoustic.apply(acoustic_params, ref_mel,
+                                     method=StyleTTSZS.encode_prompt)
+    text_enc, _ = acoustic.apply(acoustic_params, phonemes, text_mask,
+                                 method=StyleTTSZS.encode_text)
+    n_steps = n_teacher_steps or m.diffusion.n_steps
+
+    s_teacher = diffusion.apply(teacher_params, rng, text_enc, tokens,
+                                summary, text_mask=text_mask, n_steps=n_steps,
+                                method=StyleDiffusion.sample)
+    s_student = diffusion.apply(student_params, rng, text_enc, tokens,
+                                summary, text_mask=text_mask,
+                                method=StyleDiffusion.sample_onestep)
+    latent = float(jnp.mean((s_student.astype(jnp.float32)
+                             - s_teacher.astype(jnp.float32)) ** 2))
+
+    n_frames = batch.f0.shape[1]
+
+    durations = jnp.asarray(batch.durations)  # shared gt durations (see
+    # evaluate_diffusion's decode comment)
+
+    def decode(s, quantize):
+        if quantize:
+            s = acoustic.apply(acoustic_params, s,
+                               method=StyleTTSZS.quantize_style)
+        return acoustic.apply(acoustic_params, phonemes, s,
+                              text_mask=text_mask, durations=durations,
+                              n_frames=n_frames,
+                              method=StyleTTSZS.text_to_mel)
+
+    out_t = decode(s_teacher, True)
+    out_s = decode(s_student, True)
+    out_t_raw = decode(s_teacher, False)
+    out_s_raw = decode(s_student, False)
+    mask = out_t.frame_mask & out_s.frame_mask
+    return {"distill_latent_mse": round(latent, 5),
+            "distill_perceptual_mel_l1": round(
+                mel_mae(out_s.mel, out_t.mel, mask), 5),
+            "distill_perceptual_mel_l1_raw": round(
+                mel_mae(out_s_raw.mel, out_t_raw.mel, mask), 5)}
+
+
 def duration_accuracy(pred_dur: jax.Array, true_dur: jax.Array,
                       text_mask: jax.Array) -> dict:
     """Per-phoneme duration agreement metrics."""

@@ -65,29 +65,32 @@ def force_fetch(out) -> float:
     return total
 
 
-def _run_chain(fn, args_for, k: int) -> float:
-    t0 = time.perf_counter()
-    out = None
-    for i in range(k):
-        out = fn(*args_for(i))
-    force_fetch(out)
-    return time.perf_counter() - t0
-
-
 def slope_time(fn, args, *, k_lo: int = 2, k_hi: int = 12) -> float:
     """Per-call device time of ``fn(*args)`` via the slope method (see module
     docstring).  ``args`` is a tuple, or a callable ``i -> tuple`` to vary
     arguments per dispatch.  Warms up (compiles) first; returns seconds/call.
 
-    CAUTION: if every dispatch is IDENTICAL (same executable, same input
-    buffers), the remote runtime can coalesce them and the slope collapses
-    to ~0 (observed: a 43-GFLOP kernel "measured" at 1.9 us).  Vary an
-    argument per dispatch (e.g. a PRNG key), or use ``slope_time_chained``.
+    CAUTION: the remote runtime memoizes dispatches by input VALUE (observed:
+    a 43-GFLOP kernel "measured" at 1.9 us under repeated identical args).
+    The index ``i`` passed to ``args_for`` is GLOBALLY monotonic across the
+    warmup and both timing runs, so a caller whose args genuinely vary with
+    ``i`` (e.g. ``jax.random.PRNGKey(i)``) never replays a value.  Passing a
+    fixed args tuple still under-measures — use ``slope_time_jittered``.
     """
     args_for = args if callable(args) else (lambda i: args)
-    force_fetch(fn(*args_for(0)))  # warm both fn and the fetch program
-    t_lo = _run_chain(fn, args_for, k_lo)
-    t_hi = _run_chain(fn, args_for, k_hi)
+    seq = iter(range(1 << 30))
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(*args_for(next(seq)))
+        force_fetch(out)
+        return time.perf_counter() - t0
+
+    force_fetch(fn(*args_for(next(seq))))  # warm fn and the fetch program
+    t_lo = run(k_lo)
+    t_hi = run(k_hi)
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
@@ -98,21 +101,55 @@ def slope_time_chained(step, carry, static_args=(), *, k_lo: int = 2,
     i-1's output.  This defeats the runtime's coalescing of identical
     dispatches (see ``slope_time`` caution) — the robust way to time a
     single kernel.  ``step`` should be jitted; carry is any pytree.
-    """
-    warm = step(carry, *static_args)
-    force_fetch(warm)
 
-    def run(k: int) -> float:
+    The chain CONTINUES across the two timing runs (run 2 starts from run
+    1's final carry), so no (executable, input-value) pair ever repeats —
+    replaying the same chain prefix gets served from the runtime's
+    value-memoization and fakes a shallower slope.
+    """
+    c = step(carry, *static_args)
+    force_fetch(c)
+
+    def run(c, k: int):
         t0 = time.perf_counter()
-        c = carry
         for _ in range(k):
             c = step(c, *static_args)
         force_fetch(c)
-        return time.perf_counter() - t0
+        return c, time.perf_counter() - t0
 
-    t_lo = run(k_lo)
-    t_hi = run(k_hi)
+    c, t_lo = run(c, k_lo)
+    _, t_hi = run(c, k_hi)
     return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+
+def slope_time_jittered(op, x0, static_args=(), *, k_lo: int = 2,
+                        k_hi: int = 12) -> float:
+    """Chained slope timing of ``op(x0, *static_args)`` with a jittered,
+    never-repeating carry — the robust way to time one kernel on this
+    runtime (see ``slope_time`` caution; discovered via a 43-GFLOP kernel
+    "measuring" 1.9 us under identical repeated dispatches).
+
+    The next carry is ``x0 * jitter(i) + 1e-30 * sum(op(x))``: stable
+    magnitude (numerics stay x0-like — the 1e-30 coupling is ~27+ orders
+    below the data and representable in bf16, whose exponent range matches
+    fp32), never-repeating input values (no memoization by value identity),
+    and a true data dependency on EVERY output leaf's full contents — a
+    single-element couple lets XLA slice-fuse / dead-code-eliminate the op
+    (observed: an XLA transposed conv "measured" 0 us that way).
+    """
+    def step(carry, *static):
+        x, i = carry
+        y = op(x, *static)
+        total = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(y):
+            total += jnp.sum(leaf.astype(jnp.float32))
+        j = ((i * 48271) % 2048).astype(jnp.float32) / 2048.0
+        jm = (0.999 + 0.002 * j).astype(x0.dtype)
+        tiny = (total * jnp.asarray(1e-30, jnp.float32)).astype(x0.dtype)
+        return (x0 * jm + tiny, i + 1)
+
+    return slope_time_chained(jax.jit(step), (x0, jnp.int32(0)), static_args,
+                              k_lo=k_lo, k_hi=k_hi)
 
 
 @contextlib.contextmanager

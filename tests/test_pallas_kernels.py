@@ -199,8 +199,11 @@ def test_gradients_flow_through_pallas_dispatch():
 
     xx = _rand((1, 40, 8), 0)
     kk = _rand((10, 8, 16), 1, 0.2)
-    gp = jax.grad(lambda k_: jnp.sum(dispatch.conv_transpose1d(
-        xx, k_, stride=5, use_pallas=True) ** 2))(kk)
+    # conv_transpose1d YIELDS to the XLA twin under use_pallas=True (measured
+    # win-or-yield, dispatch docstring) — exercise the retained Pallas
+    # custom-VJP path directly so its gradient stays gated
+    gp = jax.grad(lambda k_: jnp.sum(
+        dispatch._conv_transpose_ad(5)(xx, k_) ** 2))(kk)
     gx = jax.grad(lambda k_: jnp.sum(dispatch.conv_transpose1d(
         xx, k_, stride=5, use_pallas=False) ** 2))(kk)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
