@@ -96,9 +96,17 @@ def cmd_train(args):
     if args.steps:
         cfg = replace(cfg, train=replace(cfg.train, n_steps=args.steps))
     params = _get_params(cfg, args.ckpt, with_discriminator=(args.stage == 1))
-    ds = SyntheticDataset(cfg.model, batch_size=cfg.train.batch_size,
-                          seed=cfg.train.seed,
-                          n_frames=min(cfg.model.max_frames, 256))
+    if args.corpus:
+        from styletts_zs_tpu.pipelines.corpus import make_corpus_loader
+        loader = iter(make_corpus_loader(
+            args.corpus, cfg.model, batch_size=cfg.train.batch_size,
+            n_frames=min(cfg.model.max_frames, 256), seed=cfg.train.seed))
+        next_batch = lambda: next(loader)  # noqa: E731
+    else:
+        ds = SyntheticDataset(cfg.model, batch_size=cfg.train.batch_size,
+                              seed=cfg.train.seed,
+                              n_frames=min(cfg.model.max_frames, 256))
+        next_batch = ds.next_batch
     mgr = CheckpointManager(args.workdir, keep=cfg.train.keep_checkpoints)
     rng = jax.random.PRNGKey(cfg.train.seed)
 
@@ -106,7 +114,7 @@ def cmd_train(args):
         tr = T.Stage1Trainer(cfg)
         state = tr.init_state(params)
         for step in range(cfg.train.n_steps):
-            batch = T.batch_to_device(ds.next_batch())
+            batch = T.batch_to_device(next_batch())
             rng, sub = jax.random.split(rng)
             state, metrics = tr.train_step(state, batch, sub)
             if step % cfg.train.log_every == 0:
@@ -120,7 +128,7 @@ def cmd_train(args):
         tr = T.Stage2Trainer(cfg)
         state = tr.init_state(params["diffusion"])
         for step in range(cfg.train.n_steps):
-            batch = T.batch_to_device(ds.next_batch())
+            batch = T.batch_to_device(next_batch())
             rng, sub = jax.random.split(rng)
             state, metrics = tr.train_step(state, params["acoustic"], batch, sub)
             if step % cfg.train.log_every == 0:
@@ -133,7 +141,7 @@ def cmd_train(args):
         n_steps = min(cfg.train.n_steps,
                       cfg.train.distill_samples // cfg.train.batch_size)
         for step in range(n_steps):
-            batch = T.batch_to_device(ds.next_batch())
+            batch = T.batch_to_device(next_batch())
             rng, sub = jax.random.split(rng)
             state, metrics = tr.train_step(state, params["diffusion"],
                                            params["acoustic"], batch, sub)
@@ -187,6 +195,9 @@ def main():
     pt.add_argument("--stage", type=int, choices=(1, 2, 3), required=True)
     pt.add_argument("--steps", type=int, default=None)
     pt.add_argument("--workdir", default="/tmp/styletts_zs_ckpt")
+    pt.add_argument("--corpus", default=None,
+                    help="on-disk corpus root (pipelines/corpus.py layout); "
+                         "default: synthetic data")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("verify", help="TPU-vs-CPU-golden numerics gate")

@@ -28,11 +28,18 @@ from styletts_zs_tpu.utils.config import (Config, ModelConfig, RuntimeConfig,
 
 def _measure(fn, args):
     """Per-call device time via the slope method (``metrics.slope_time``) —
-    the only valid TPU timing on this runtime (no-op block_until_ready)."""
+    the only valid TPU timing on this runtime (no-op block_until_ready).
+
+    The trailing PRNG-key argument is re-derived per dispatch: the runtime
+    memoizes dispatches by input VALUE, so identical repeated args would
+    fake a near-zero slope (CLAUDE.md timing rules).
+    """
     out = fn(*args)
     on_tpu = jax.default_backend() == "tpu"
     k_lo, k_hi = (2, 8) if on_tpu else (1, 3)
-    dt = metrics_lib.slope_time(fn, args, k_lo=k_lo, k_hi=k_hi)
+    dt = metrics_lib.slope_time(
+        fn, lambda i: (*args[:-1], jax.random.PRNGKey(i)),
+        k_lo=k_lo, k_hi=k_hi)
     return out, dt
 
 

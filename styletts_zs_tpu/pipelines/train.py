@@ -345,11 +345,10 @@ class Stage3Trainer:
 
 
 def batch_to_device(batch, sharding=None):
-    """numpy Batch dataclass -> dict of (sharded) device arrays."""
-    d = {"phonemes": batch.phonemes, "text_lengths": batch.text_lengths,
-         "durations": batch.durations, "wav": batch.wav, "f0": batch.f0,
-         "energy": batch.energy, "frame_lengths": batch.frame_lengths,
-         "ref_wav": batch.ref_wav}
+    """numpy Batch dataclass (or featurized dict) -> (sharded) device dict."""
+    src = batch if isinstance(batch, dict) else vars(batch)
+    d = {k: src[k] for k in ("phonemes", "text_lengths", "durations", "wav",
+                             "f0", "energy", "frame_lengths", "ref_wav")}
     if sharding is not None:
         return {k: jax.device_put(v, sharding) for k, v in d.items()}
     return {k: jnp.asarray(v) for k, v in d.items()}
