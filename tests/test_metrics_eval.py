@@ -51,3 +51,69 @@ def test_duration_accuracy_and_f0():
     fm = jnp.asarray([[True, True, True]])
     r = E.f0_rmse(f0p, f0t, fm)
     assert r > 0
+
+
+def test_slope_time_jittered_sane():
+    """Chained jittered timer returns a positive, shape-preserving time."""
+    import jax
+
+    x = jnp.ones((64, 64), jnp.float32)
+    w = jnp.eye(64, dtype=jnp.float32) * 0.5
+
+    op = jax.jit(lambda x, w: x @ w + 1.0)
+    dt = M.slope_time_jittered(op, x, (w,), k_lo=1, k_hi=4)
+    assert 0 < dt < 1.0
+
+
+def test_slope_time_varying_args_monotonic_index():
+    """slope_time's args_for sees globally monotonic indices (no replay)."""
+    import jax
+
+    seen = []
+
+    def args_for(i):
+        seen.append(i)
+        return (jnp.float32(i),)
+
+    fn = jax.jit(lambda x: x * 2.0)
+    dt = M.slope_time(fn, args_for, k_lo=1, k_hi=3)
+    assert dt > 0
+    assert seen == sorted(seen) and len(set(seen)) == len(seen)
+
+
+def _tiny_setup():
+    import jax
+
+    from styletts_zs_tpu.pipelines.data import SyntheticDataset
+    from styletts_zs_tpu.pipelines.factory import init_params
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = SyntheticDataset(cfg.model, batch_size=2, seed=5,
+                             n_frames=64).next_batch()
+    return cfg, params, batch
+
+
+def test_quality_gate_evaluators_finite():
+    """Stage-boundary gates (VERDICT r1 item 8) return finite metric dicts."""
+    import jax
+
+    cfg, params, batch = _tiny_setup()
+    g = {"acoustic": params["acoustic"], "vocoder": params["vocoder"]}
+    rep1 = E.evaluate_acoustic(cfg, g, batch)
+    for key in ("mel_mae_teacher_forced", "f0_rmse", "dur_mae_frames"):
+        assert np.isfinite(rep1[key]), (key, rep1)
+
+    rng = jax.random.PRNGKey(1)
+    rep2 = E.evaluate_diffusion(cfg, params["acoustic"], params["diffusion"],
+                                batch, rng, n_steps=2)
+    assert np.isfinite(rep2["style_latent_mse_vs_gt"])
+    # gt-duration decode: the mel gap must NOT be vacuously zero unless the
+    # raw gap is zero too (degenerate-mask regression guard)
+    assert (rep2["mel_mae_sampled_vs_gt_style_raw"] > 0
+            or rep2["style_latent_mse_vs_gt"] == 0)
+
+    rep3 = E.evaluate_distill_gap(cfg, params["acoustic"],
+                                  params["diffusion"], params["diffusion"],
+                                  batch, rng, n_teacher_steps=2)
+    assert np.isfinite(rep3["distill_latent_mse"])
