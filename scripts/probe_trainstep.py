@@ -63,7 +63,10 @@ def measure(use_pallas: bool, *, batch: int, n_frames: int,
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    batch, n_frames = 8, 1024
+    # 256-frame training clips, as the real pipelines use (cli train /
+    # train_pipeline cap clips at 256 frames; 1024-frame clips OOM HBM in
+    # the stage-1 GAN step's discriminator convs)
+    batch, n_frames = 8, 256
     res = {}
     for up in (True, False):
         dt = measure(up, batch=batch, n_frames=n_frames)

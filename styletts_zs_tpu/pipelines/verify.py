@@ -79,8 +79,17 @@ def run_verification(*, max_frames: int = 256, batch: int = 1,
 
     for name, rt in variants.items():
         cfg_v = Config(model=base_model, runtime=rt)
-        out_v, wav_v = _run(cfg_v, params, phonemes, text_lengths, style,
-                            durations, max_frames)
+        # the fp32 gate means FULL precision: on TPU, default-precision
+        # matmuls truncate inputs to bf16 on the MXU, which would make the
+        # tight 1e-3 gate unachievable for reasons unrelated to the Pallas
+        # kernels under test — so fp32 variants run like the golden does
+        if rt.compute_dtype == "float32":
+            with jax.default_matmul_precision("highest"):
+                out_v, wav_v = _run(cfg_v, params, phonemes, text_lengths,
+                                    style, durations, max_frames)
+        else:
+            out_v, wav_v = _run(cfg_v, params, phonemes, text_lengths, style,
+                                durations, max_frames)
         mel_v = np.asarray(out_v.mel, np.float32)
         wav_v = np.asarray(wav_v, np.float32)
         mel_mae = float(np.abs((mel_v - mel_g) * mask).sum()
