@@ -60,26 +60,12 @@ def main():
     flops = 2 * B * T * K * C * C * 2
     klo, khi = (5, 40) if on_tpu else (1, 3)
 
-    def jittered_step(op, x0):
-        """Artifact-proof chain: the next input is x0*jitter(i) + y*1e-30 —
-        stable magnitude, never-repeating values (so the runtime can never
-        coalesce by input-value identity), true data dependency on y (the
-        1e-30 coupling underflows in bf16 so numerics stay x0-like), and the
-        rebuild fuses into the same program."""
-        def step(carry, *static):
-            x, i = carry
-            y = op(x, *static)
-            j = ((i * 48271) % 2048).astype(jnp.float32) / 2048.0
-            jit_mul = (0.999 + 0.002 * j).astype(x0.dtype)
-            x_next = x0 * jit_mul + (y * jnp.asarray(1e-30, jnp.float32)
-                                     ).astype(x0.dtype)
-            return (x_next, i + 1)
-        return jax.jit(step)
-
     def timed(op, x0, static, k_lo, k_hi):
-        step = jittered_step(op, x0)
-        return metrics_lib.slope_time_chained(
-            step, (x0, jnp.int32(0)), static, k_lo=k_lo, k_hi=k_hi)
+        # shared coalescing/DCE-proof timer (fp32 carry, sum-coupled
+        # outputs) — do NOT inline a copy here; it drifted once already
+        # (single-element coupling let XLA DCE the op under test)
+        return metrics_lib.slope_time_jittered(op, x0, static,
+                                               k_lo=k_lo, k_hi=k_hi)
 
     variants = {
         "xla_twin": (lambda x, *a: dispatch.adain_conv_block(

@@ -363,7 +363,7 @@ def adain_conv_block_bwd_pallas(res, g, *, dilation: int = 1):
     """-> (dx, dscale, dshift, dkernel1, dkernel2); see derivation above."""
     x, scale, shift, k1, k2, h, mean_x, rstd_x, mean_h, rstd_h = res
     C = x.shape[-1]
-    K = k1.shape[0]
+    K1, K2 = k1.shape[0], k2.shape[0]
     s1, s2 = scale[..., :C], scale[..., C:]
     b1, b2 = shift[..., :C], shift[..., C:]
     inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
@@ -374,14 +374,14 @@ def adain_conv_block_bwd_pallas(res, g, *, dilation: int = 1):
     dc1_f, ds2, db2, n_h = _norm_bwd(dh2, h, s2, mean_h, rstd_h)
     dc1 = dc1_f.astype(g.dtype)
     a1 = _silu_act(n_h, s2, b2)
-    dW2 = _conv_wgrad(a1, dc2, K, 1)
+    dW2 = _conv_wgrad(a1, dc2, K2, 1)
 
     # pass 1 (dilated): dh1 -> dx, ds1, db1, dW1
     dh1 = _bwd_data_mod_pass(dc1, x, s1, b1, mean_x, rstd_x, k1,
                              dilation=dilation)
     dx_n, ds1, db1, n_x = _norm_bwd(dh1, x, s1, mean_x, rstd_x)
     a0 = _silu_act(n_x, s1, b1)
-    dW1 = _conv_wgrad(a0, dc1, K, dilation)
+    dW1 = _conv_wgrad(a0, dc1, K1, dilation)
 
     dx = (g.astype(jnp.float32) * inv_sqrt2 + dx_n).astype(x.dtype)
     dscale = jnp.concatenate([ds1, ds2], axis=-1).astype(scale.dtype)

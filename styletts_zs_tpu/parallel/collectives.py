@@ -26,11 +26,15 @@ from styletts_zs_tpu.parallel.mesh import DATA_AXIS
 
 
 def length_histogram(lengths: jax.Array, boundaries) -> jax.Array:
-    """Counts of ``lengths`` per bucket: bucket i is (b[i-1], b[i]], with a
-    final overflow bucket.  jit-safe (static boundary tuple)."""
+    """Counts of ``lengths`` per bucket: bucket i is (b[i-1], b[i]], with
+    overflow lengths folded into the LAST bucket — the same contract as
+    ``bucketing.bucket_histogram``, so either transport's output feeds
+    ``bucketing.plan_buckets`` directly.  jit-safe (static boundary tuple).
+    """
     bs = jnp.asarray(tuple(boundaries), jnp.int32)
     idx = jnp.sum(lengths[:, None] > bs[None, :], axis=1)  # (N,) bucket index
-    return jnp.zeros((len(boundaries) + 1,), jnp.int32).at[idx].add(1)
+    idx = jnp.minimum(idx, len(boundaries) - 1)            # fold overflow
+    return jnp.zeros((len(boundaries),), jnp.int32).at[idx].add(1)
 
 
 def gather_length_histograms(mesh, lengths: jax.Array, boundaries):

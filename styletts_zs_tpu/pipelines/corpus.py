@@ -9,7 +9,7 @@ metadata line per utterance):
       metadata.jsonl     # {"id": ..., "speaker": ..., "text": ...} or
                          # {"id": ..., "speaker": ..., "phonemes": [ids]}
                          # optional: "durations": [frames per phoneme]
-      wavs/<id>.wav      # 16-bit PCM or float32 WAV at any rate
+      wavs/<id>.wav      # 16/32-bit integer PCM WAV at any rate
 
 Pipeline per utterance (all host-side, grain-parallelizable):
   read wav -> resample to config rate -> ``preprocess.featurize`` (YIN F0,
@@ -34,7 +34,12 @@ from styletts_zs_tpu.utils.config import ModelConfig
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Mono float32 in [-1, 1] + sample rate, stdlib-only (16/32-bit PCM)."""
+    """Mono float32 in [-1, 1] + sample rate, stdlib-only.
+
+    Supports 16/32-bit integer PCM (stdlib ``wave`` rejects IEEE-float WAVs
+    at open, so a float32 file fails loudly there rather than being
+    misdecoded); convert other formats offline (e.g. ``sox in.wav -b 16``).
+    """
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -182,10 +187,11 @@ def export_synthetic_corpus(root: str, cfg: ModelConfig, *, n_utts: int,
     from styletts_zs_tpu.pipelines.data import SyntheticDataset
 
     os.makedirs(os.path.join(root, "wavs"), exist_ok=True)
-    per_spk = max(1, n_utts // n_speakers)
     lines = []
     k = 0
     for s in range(n_speakers):
+        # exactly n_utts total: distribute the remainder over early speakers
+        per_spk = n_utts // n_speakers + (1 if s < n_utts % n_speakers else 0)
         ds = SyntheticDataset(cfg, batch_size=1, seed=seed * 977 + s,
                               n_frames=n_frames, text_len=text_len)
         spk = ds._speaker()

@@ -129,27 +129,30 @@ def slope_time_jittered(op, x0, static_args=(), *, k_lo: int = 2,
     runtime (see ``slope_time`` caution; discovered via a 43-GFLOP kernel
     "measuring" 1.9 us under identical repeated dispatches).
 
-    The next carry is ``x0 * jitter(i) + 1e-30 * sum(op(x))``: stable
-    magnitude (numerics stay x0-like — the 1e-30 coupling is ~27+ orders
-    below the data and representable in bf16, whose exponent range matches
-    fp32), never-repeating input values (no memoization by value identity),
-    and a true data dependency on EVERY output leaf's full contents — a
-    single-element couple lets XLA slice-fuse / dead-code-eliminate the op
-    (observed: an XLA transposed conv "measured" 0 us that way).
+    The carry is ``(x0_f32 * jitter(i) + 1e-30 * sum(op(x)), i)`` held in
+    FP32 regardless of ``x0.dtype`` (cast to the op's dtype inside the
+    step): in bf16 the whole jitter range is below one ulp at 1.0 and the
+    1e-30 coupling underflows in the add, so a bf16 carry would be bitwise
+    x0 every dispatch — the fp32 carry plus the monotonic counter ``i``
+    guarantee the dispatched input values never repeat.  The coupling sums
+    EVERY output leaf's full contents — a single-element couple lets XLA
+    slice-fuse / dead-code-eliminate the op (observed: an XLA transposed
+    conv "measured" 0 us that way).
     """
+    x0f = x0.astype(jnp.float32)
+
     def step(carry, *static):
-        x, i = carry
-        y = op(x, *static)
+        x, i = carry                       # x: fp32, never value-repeats
+        y = op(x.astype(x0.dtype), *static)
         total = jnp.float32(0.0)
         for leaf in jax.tree.leaves(y):
             total += jnp.sum(leaf.astype(jnp.float32))
         j = ((i * 48271) % 2048).astype(jnp.float32) / 2048.0
-        jm = (0.999 + 0.002 * j).astype(x0.dtype)
-        tiny = (total * jnp.asarray(1e-30, jnp.float32)).astype(x0.dtype)
-        return (x0 * jm + tiny, i + 1)
+        jm = 0.999 + 0.002 * j
+        return (x0f * jm + total * jnp.float32(1e-30), i + 1)
 
-    return slope_time_chained(jax.jit(step), (x0, jnp.int32(0)), static_args,
-                              k_lo=k_lo, k_hi=k_hi)
+    return slope_time_chained(jax.jit(step), (x0f, jnp.int32(0)),
+                              static_args, k_lo=k_lo, k_hi=k_hi)
 
 
 @contextlib.contextmanager

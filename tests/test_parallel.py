@@ -72,16 +72,24 @@ def test_metadata_all_gather_shard_map():
     lengths = jnp.arange(16, dtype=jnp.int32) * 40  # 0..600
     ls = jax.device_put(lengths, mesh_lib.batch_sharding(mesh))
 
-    per_shard = collectives.gather_length_histograms(mesh, ls, (256,))
+    buckets = (256, 640)
+    per_shard = collectives.gather_length_histograms(mesh, ls, buckets)
     assert per_shard.shape == (8, 2)
     total = np.asarray(per_shard).sum(0)
     assert total.sum() == 16
     assert total[0] == int(np.sum(np.asarray(lengths) <= 256))
-    # local histogram matches numpy's bucketing
-    np_hist = np.asarray(
-        collectives.length_histogram(lengths, (256,)))
-    assert np_hist.tolist() == [int(np.sum(np.asarray(lengths) <= 256)),
-                                int(np.sum(np.asarray(lengths) > 256))]
+    # local histogram matches bucketing.bucket_histogram exactly (shared
+    # contract: overflow folds into the LAST bucket, so either transport
+    # feeds plan_buckets)
+    from styletts_zs_tpu.parallel import bucketing
+    np_hist = np.asarray(collectives.length_histogram(lengths, buckets))
+    assert np_hist.tolist() == bucketing.bucket_histogram(
+        np.asarray(lengths), buckets).tolist()
+    # overflow lengths (> last bucket) are counted, not dropped
+    over = np.asarray(
+        collectives.length_histogram(lengths, (256, 512)))
+    assert over.sum() == 16
+    assert over[1] == int(np.sum(np.asarray(lengths) > 256))
 
 
 def test_stage1_train_step_dp_equivalence():
