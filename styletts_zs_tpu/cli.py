@@ -161,11 +161,16 @@ def cmd_verify(args):
 
 
 def cmd_accept(args):
-    """Run one of the five acceptance configs (BASELINE.json:6-12)."""
+    """Run one (or all) of the five acceptance configs (BASELINE.json:6-12)."""
     from styletts_zs_tpu.pipelines.acceptance import run_acceptance
     from styletts_zs_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    report = run_acceptance(args.level, full_size=args.full or None)
+    if args.level == 0:  # --level 0 = all five, one aggregated JSON report
+        report = {f"level_{lv}": run_acceptance(lv,
+                                                full_size=args.full or None)
+                  for lv in (1, 2, 3, 4, 5)}
+    else:
+        report = run_acceptance(args.level, full_size=args.full or None)
     print(json.dumps(report, indent=2))
 
 
@@ -206,7 +211,8 @@ def main():
     pv.set_defaults(fn=cmd_verify)
 
     pa = sub.add_parser("accept", help="run an acceptance config (1-5)")
-    pa.add_argument("--level", type=int, choices=(1, 2, 3, 4, 5), required=True)
+    pa.add_argument("--level", type=int, choices=(0, 1, 2, 3, 4, 5),
+                    required=True, help="1-5, or 0 for all five aggregated")
     pa.add_argument("--full", action="store_true",
                     help="force full-size model (default: full on TPU)")
     pa.set_defaults(fn=cmd_accept)
