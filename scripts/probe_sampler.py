@@ -61,6 +61,19 @@ def main():
         print(f"use_pallas_tail={use_pallas}: {dt*1e3:.2f} ms/call",
               flush=True)
 
+        # distillation speed-reduction claim (reference README.md:5: "90%"):
+        # the same network, one CFG-doubled call at sigma_max
+        def fn1(key):
+            return model.apply(params, key, text_enc, tokens, summary,
+                               method=StyleDiffusion.sample_onestep)
+
+        fn1j = jax.jit(fn1)
+        fn1j(jax.random.PRNGKey(0))
+        dt1 = metrics_lib.slope_time(
+            fn1j, lambda i: (jax.random.PRNGKey(i),), k_lo=2, k_hi=10)
+        print(f"  one-step distilled sampler: {dt1*1e3:.2f} ms/call "
+              f"(reduction {100*(1-dt1/dt):.1f}% vs 16-step)", flush=True)
+
 
 if __name__ == "__main__":
     main()
