@@ -69,14 +69,20 @@ def summarize(logdir: str, calls: int) -> dict:
               if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = [pid for pid, n in pnames.items() if "TPU" in n]
     agg = collections.Counter()
+    cat = collections.Counter()
     for e in evs:
         if e.get("ph") == "X" and e.get("dur") and e.get("pid") in dev:
             agg[e["name"]] += e["dur"]
+            hc = e.get("args", {}).get("hlo_category")
+            if hc:
+                cat[hc] += e["dur"]
     top = {name: round(us / calls / 1e3, 3)
            for name, us in agg.most_common(30)}
     # jit_fn envelope = whole-program device time per call
     prog = [v for k, v in top.items() if k.startswith("jit_fn")]
     return {"trace": p, "device_ms_per_call": prog[0] if prog else None,
+            "hlo_category_ms_per_call": {
+                k: round(v / calls / 1e3, 2) for k, v in cat.most_common()},
             "top_ops_ms_per_call": top}
 
 
