@@ -18,7 +18,17 @@ from styletts_zs_tpu.utils.config import AudioConfig, DiscriminatorConfig
 
 
 class PeriodDiscriminator(nn.Module):
-    """Waveform folded at one period -> 2D conv stack (MPD component)."""
+    """Waveform folded at one period -> conv stack per phase (MPD component).
+
+    The canonical MPD uses (5, 1) 2D kernels on (B, T/p, p, C) — they never
+    mix the period axis, so the computation IS a 1D conv over T/p applied
+    independently per phase.  TPU layout note: the 2D form's (p, C) minor
+    dims lane-pad badly (XLA reported 4-6x padding expansion on the
+    (.., 11, 32) tensors, and the train-step trace showed conv fusions at
+    98% of the 1 s step), so the phase axis is folded into the BATCH and
+    the stack runs as plain channels-last conv1d — identical math, full
+    128-lane tiles from C=128 up.
+    """
 
     period: int
     channels: int
@@ -27,24 +37,27 @@ class PeriodDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, wav: jax.Array):
-        """wav: (B, T) -> (logits (B, T', 1), features list)."""
+        """wav: (B, T) -> (logits (B, p*T''), features list)."""
         B, T = wav.shape
         p = self.period
         T_pad = ((T + p - 1) // p) * p
         x = jnp.pad(wav, ((0, 0), (0, T_pad - T)), mode="reflect")
-        x = x.reshape(B, T_pad // p, p, 1)
+        # (B, T/p, p): sample (b, t', j) = wav[b, t'*p + j] -> phase-major
+        x = x.reshape(B, T_pad // p, p)
+        x = jnp.transpose(x, (0, 2, 1)).reshape(B * p, T_pad // p, 1)
         feats = []
         ch = self.channels
         for i in range(4):
-            x = nn.Conv(min(ch, self.max_channels), (5, 1), strides=(3, 1),
+            x = nn.Conv(min(ch, self.max_channels), (5,), strides=(3,),
                         dtype=self.dtype, name=f"conv{i}")(x)
             x = jax.nn.leaky_relu(x, 0.1)
             feats.append(x)
             ch *= 4
-        x = nn.Conv(self.max_channels, (5, 1), dtype=self.dtype, name="conv4")(x)
+        x = nn.Conv(self.max_channels, (5,), dtype=self.dtype,
+                    name="conv4")(x)
         x = jax.nn.leaky_relu(x, 0.1)
         feats.append(x)
-        logits = nn.Conv(1, (3, 1), dtype=self.dtype, name="out")(x)
+        logits = nn.Conv(1, (3,), dtype=self.dtype, name="out")(x)
         return logits.reshape(B, -1), feats
 
 
