@@ -224,6 +224,27 @@ def bench_sampler_tail():
     report("sampler_cfg_euler_tail", tp, tx, None, bytes_moved)
 
 
+def bench_synthesis_head(dtype=jnp.bfloat16):
+    """Fused synthesis head (leaky+conv7+epilogue+OLA) vs unfused twin at
+    prod shapes: (B, 25600, 128) MRF output, n_fft 48 / hop 12."""
+    from styletts_zs_tpu.kernels import dispatch, vocoder_kernels
+    B, T, C, n_fft, hop = 8, 25600, 128, 48, 12
+    n_freq = n_fft // 2 + 1
+    x = _rand((B, T, C), 0, dtype, 0.7)
+    w = _rand((7, C, 3 * n_freq), 1, jnp.float32, 0.05)
+    b = _rand((3 * n_freq,), 2, jnp.float32, 0.1)
+    f_p = jax.jit(lambda x: vocoder_kernels.synthesis_head_pallas(
+        x, w, b, n_fft=n_fft, hop=hop))
+    f_x = jax.jit(lambda x: dispatch._synthesis_head_xla(
+        x, w, b, n_fft=n_fft, hop=hop))
+    tp = timeit(f_p, x, iters=24)
+    tx = timeit(f_x, x, iters=24)
+    flops = B * T * (2 * 7 * C * 3 * n_freq          # head conv
+                     + 2 * hop * 2 * 2 * n_freq)     # OLA matmul pair
+    bytes_moved = B * T * C * 2 + B * (T - 1) * hop * 4
+    report("synthesis_head_fused", tp, tx, flops, bytes_moved)
+
+
 if __name__ == "__main__":
     print(json.dumps({"backend": jax.default_backend(),
                       "device": str(jax.devices()[0])}))
@@ -232,5 +253,6 @@ if __name__ == "__main__":
     bench_adain_conv()
     bench_conv_transpose()
     bench_istft()
+    bench_synthesis_head()
     bench_full_attention()
     bench_sampler_tail()

@@ -27,6 +27,10 @@ slower than the twin.  Measured on the real v5e with chained slope timing
   transposed conv      fwd+bwd    XLA      XLA twin (162 vs 290 us fwd)
   iSTFT overlap-add    fwd        Pallas   Pallas super-frame kernel
   sampler CFG tail     fwd        Pallas   Pallas fused step
+  synthesis head       fwd        Pallas   fused leaky+conv+epilogue+OLA
+                                           (1.44 vs 4.75 ms at B8x25600,
+                                           scripts/probe_synth_head.py;
+                                           subsumes the istft row in prod)
 """
 from __future__ import annotations
 
@@ -288,3 +292,60 @@ def istft_head(real, imag, *, n_fft: int, hop: int, use_pallas: bool = False):
     from styletts_zs_tpu.utils.config import AudioConfig
     cfg = AudioConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop)
     return stft_ops.istft(real, imag, cfg, center=True)
+
+
+def _synthesis_head_xla(x, w, b, *, n_fft: int, hop: int):
+    """XLA twin of the fused synthesis head — the exact op composition the
+    vocoder used before fusion (leaky_relu -> SAME conv + bias in the
+    compute dtype -> fp32 mag/phase epilogue -> centered iSTFT)."""
+    from styletts_zs_tpu.ops import conv as conv_ops
+    n_freq = n_fft // 2 + 1
+    h = jax.nn.leaky_relu(x, 0.1)
+    head = conv_ops.conv1d(h, w.astype(x.dtype)) + b.astype(x.dtype)
+    logmag, pc, ps = jnp.split(head, 3, axis=-1)
+    mag = jnp.exp(jnp.clip(logmag.astype(jnp.float32), -12.0, 6.0))
+    norm = jax.lax.rsqrt(pc.astype(jnp.float32) ** 2
+                         + ps.astype(jnp.float32) ** 2 + 1e-7)
+    real = mag * pc.astype(jnp.float32) * norm
+    imag = mag * ps.astype(jnp.float32) * norm
+    return istft_head(real, imag, n_fft=n_fft, hop=hop, use_pallas=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesis_head_ad(n_fft: int, hop: int):
+    from styletts_zs_tpu.kernels import vocoder_kernels
+
+    @jax.custom_vjp
+    def f(x, w, b):
+        return vocoder_kernels.synthesis_head_pallas(x, w, b, n_fft=n_fft,
+                                                     hop=hop)
+
+    def fwd(x, w, b):
+        return f(x, w, b), (x, w, b)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            functools.partial(_synthesis_head_xla, n_fft=n_fft, hop=hop),
+            *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def synthesis_head(x, w, b, *, n_fft: int, hop: int,
+                   use_pallas: bool = False):
+    """Fused vocoder synthesis head: activations -> waveform.
+
+    x: (B, T, C) pre-activation MRF output; w: (K, C, 3*n_freq); b:
+    (3*n_freq,).  Fuses leaky_relu + head conv + mag/phase epilogue +
+    super-frame iSTFT overlap-add into one Pallas kernel (the unfused path
+    round-trips three lane-padded narrow tensors through HBM — STATUS.md
+    round-2 "iSTFT compound is layout-bound" gap).  Returns (B, (T-1)*hop)
+    float32.
+    """
+    from styletts_zs_tpu.kernels import vocoder_kernels
+    if use_pallas and vocoder_kernels.synthesis_head_supported(
+            n_fft=n_fft, hop=hop, K=w.shape[0]):
+        return _synthesis_head_ad(n_fft, hop)(x, w, b)
+    return _synthesis_head_xla(x, w, b, n_fft=n_fft, hop=hop)

@@ -339,6 +339,142 @@ def _istft_env(n_fft: int, hop: int, F: int, out_len: int):
     return env.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# fused synthesis head: leaky_relu -> head conv -> mag/phase -> iSTFT OLA
+# ---------------------------------------------------------------------------
+
+def _synth_head_kernel(x_ref, strip_ref, w_ref, b_ref, w0_ref, w1_ref,
+                       env_ref, o_ref, *, bt: int, P: int, C2: int,
+                       n_freq: int, K: int, n_frames: int):
+    """One (bt super-frames, P*hop samples) output tile, fully fused.
+
+    Pipeline per tile (everything VMEM-resident — the HBM round trips of
+    the unfused path: head-conv output (lane-padded 3*n_freq), fp32
+    real/imag pair, concat/pad/reshape relayouts, all disappear):
+      window = [P+kl left halo | main | kr right halo]   (frames, C)
+      h      = leaky_relu(window)                         twin: vocoder.py
+      y      = sum_s h[s:s+Np] @ W[s] + b                 head conv, K taps
+      spec   = mag/phase epilogue (exp/clip/rsqrt), masked to valid frames
+      xs     = spec.reshape(bt+1, P*C2)                   super-frame fold
+      out    = (xs[1:] @ W0 + xs[:-1] @ W1) * inv_env     OLA + normalize
+    The P extra frames at the left are recomputed so row 0 provides the
+    previous super-frame for the W1 term (cross-block dependency becomes a
+    1.5% recompute instead of an HBM pass).
+    """
+    i = pl.program_id(1)
+    N = bt * P
+    Np = N + P
+    kl = (K - 1) // 2
+    left = P + kl
+    main = x_ref[0]                        # (N, C)
+    halo = strip_ref[0, 0]                 # (left + kr, C)
+    window = jnp.concatenate([halo[:left], main, halo[left:]], axis=0)
+    # leaky_relu; compare in fp32 (Mosaic: no bf16 compare on v5e)
+    h = jnp.where(window.astype(jnp.float32) >= 0, window,
+                  window * jnp.asarray(0.1, window.dtype))
+    C = main.shape[-1]
+    acc = jnp.zeros((Np, w_ref.shape[-1]), jnp.float32)
+    for s in range(K):
+        acc += jax.lax.dot_general(
+            h[s: s + Np, :], w_ref[s * C:(s + 1) * C, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # match the twin's rounding: conv output + bias in the compute dtype
+    y = (acc.astype(main.dtype) + b_ref[0].astype(main.dtype)
+         ).astype(jnp.float32)
+    logmag = y[:, :n_freq]
+    pcv = y[:, n_freq: 2 * n_freq]
+    psv = y[:, 2 * n_freq: 3 * n_freq]
+    mag = jnp.exp(jnp.clip(logmag, -12.0, 6.0))
+    norm = jax.lax.rsqrt(pcv * pcv + psv * psv + 1e-7)
+    fidx = (i * N - P) + jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+    valid = ((fidx >= 0) & (fidx < n_frames)).astype(jnp.float32)
+    real = mag * pcv * norm * valid
+    imag = mag * psv * norm * valid
+    z = jnp.zeros((Np, C2 // 2 - n_freq), jnp.float32)
+    spec = jnp.concatenate([real, z, imag, z], axis=1)   # (Np, C2)
+    specr = spec.reshape(bt + 1, P * C2)
+    out = jax.lax.dot_general(
+        specr[1:, :], w0_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(
+        specr[:-1, :], w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (out * env_ref[...]).astype(o_ref.dtype)
+
+
+def synthesis_head_supported(*, n_fft: int, hop: int, K: int) -> bool:
+    """Geometry gate for the fused head kernel (else: XLA twin)."""
+    P = max(1, 128 // hop)
+    return ((n_fft - 1) // hop + 1 <= P) and K % 2 == 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "block_t"))
+def synthesis_head_pallas(x, w, b, *, n_fft: int, hop: int,
+                          block_t: int = 128):
+    """Fused vocoder synthesis head (Pallas twin of the composition in
+    ``kernels.dispatch._synthesis_head_xla``).
+
+    x: (B, T, C) pre-activation MRF output; w: (K, C, 3*n_freq) head-conv
+    kernel; b: (3*n_freq,). Returns wav (B, (T-1)*hop) float32.
+    """
+    B, T, C = x.shape
+    K = w.shape[0]
+    n_freq = n_fft // 2 + 1
+    P = max(1, 128 // hop)
+    assert synthesis_head_supported(n_fft=n_fft, hop=hop, K=K)
+    # C2 = one full lane tile so the super-frame fold is the tile-aligned
+    # reshape (Np, 128) -> (bt+1, P*128); narrower folds (e.g. (650, 64) ->
+    # (65, 640)) are rejected by Mosaic's tpu.reshape
+    C2 = 128
+    start = n_fft // 2
+    extra = -(-start // hop) + 1
+    F_sup = -(-(T + extra) // P)
+    bt = min(block_t, 1 << (F_sup - 1).bit_length())
+    F_sup = -(-F_sup // bt) * bt
+    T_pad = F_sup * P
+    kl, kr = (K - 1) // 2, K // 2
+    left = P + kl
+    n_blocks = F_sup // bt
+    N = bt * P
+    xp = jnp.pad(x, ((0, 0), (left, kr + (T_pad - T)), (0, 0)))
+    main = xp[:, left: left + T_pad, :]
+    strips = _make_strips(xp, n_blocks, N, left, kr)
+    w_cat = w.reshape(K * C, 3 * n_freq).astype(x.dtype)
+    b2 = jnp.asarray(b, jnp.float32).reshape(1, 3 * n_freq)
+    W0, W1, _ = _istft_basis_sf(n_fft, hop, P, C2 // 2)
+    S_pad = T_pad * hop
+    inv_env = (1.0 / _istft_env(n_fft, hop, T, S_pad)).astype(np.float32)
+    inv_env = jnp.asarray(inv_env.reshape(F_sup, P * hop))
+    kern = functools.partial(_synth_head_kernel, bt=bt, P=P, C2=C2,
+                             n_freq=n_freq, K=K, n_frames=T)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, left + kr, C), lambda bb, i: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * C, 3 * n_freq), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * n_freq), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W0.shape, lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W1.shape, lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, P * hop), lambda bb, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, P * hop), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F_sup, P * hop), jnp.float32),
+        interpret=_interpret(),
+    )(main, strips, w_cat, b2, jnp.asarray(W0), jnp.asarray(W1), inv_env)
+    wav = out.reshape(B, S_pad)
+    return jax.lax.dynamic_slice_in_dim(wav, start, (T - 1) * hop, axis=1)
+
+
 def istft_pallas(real, imag, *, n_fft: int, hop: int):
     """Pallas twin of the iSTFT head (``dispatch.istft_head`` XLA path).
 

@@ -41,6 +41,28 @@ class ResBlock(nn.Module):
         return x
 
 
+class _HeadParams(nn.Module):
+    """Parameter holder for the fused synthesis head.
+
+    Mirrors the param tree ``nn.Conv(..., name="istft_head")`` created
+    before the head was fused (same scope path, names, shapes, and
+    initializers), so existing checkpoints/goldens load unchanged.
+    """
+
+    features: int
+    c_in: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel_size, self.c_in, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class Vocoder(nn.Module):
     cfg: VocoderConfig
     n_mels: int = 80
@@ -73,16 +95,15 @@ class Vocoder(nn.Module):
                              dtype=self.dtype, name=f"mrf{i}_{j}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(c.resblock_kernels)
-        x = jax.nn.leaky_relu(x, 0.1)
-        # iSTFT head: predict magnitude + phase unit vector per bin
+        # iSTFT head: predict magnitude + phase unit vector per bin.  The
+        # whole tail (leaky_relu + K=7 head conv + mag/phase epilogue +
+        # overlap-add) is one fused dispatch op; params keep the nn.Conv
+        # tree layout (istft_head/{kernel,bias}) for checkpoint parity.
         n_freq = c.istft_n_fft // 2 + 1
-        head = nn.Conv(3 * n_freq, (7,), dtype=self.dtype, name="istft_head")(x)
-        logmag, pc, ps = jnp.split(head, 3, axis=-1)
-        mag = jnp.exp(jnp.clip(logmag.astype(jnp.float32), -12.0, 6.0))
-        norm = jax.lax.rsqrt(pc.astype(jnp.float32) ** 2
-                             + ps.astype(jnp.float32) ** 2 + 1e-7)
-        real = mag * pc.astype(jnp.float32) * norm
-        imag = mag * ps.astype(jnp.float32) * norm
-        wav = dispatch.istft_head(real, imag, n_fft=c.istft_n_fft,
-                                  hop=c.istft_hop, use_pallas=self.use_pallas)
+        head = _HeadParams(features=3 * n_freq, c_in=x.shape[-1],
+                           kernel_size=7, name="istft_head")
+        wk, wb = head()
+        wav = dispatch.synthesis_head(x, wk, wb, n_fft=c.istft_n_fft,
+                                      hop=c.istft_hop,
+                                      use_pallas=self.use_pallas)
         return wav.astype(self.dtype)

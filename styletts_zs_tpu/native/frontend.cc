@@ -9,6 +9,7 @@
 //
 // Build: make -C styletts_zs_tpu/native   (g++ -O3, no external deps)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -115,6 +116,85 @@ void stz_estimate_f0(const float* wav, int64_t n_samples, int32_t sample_rate,
       f0_out[i] = static_cast<float>(sample_rate / tau_f);
       voiced_out[i] = 1;
     }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Kaiser-windowed-sinc polyphase resampler (corpus loading: arbitrary WAV
+// sample rates -> the model rate).  Math twin: utils/audio.py
+// ``resample_poly_np`` — tests gate the two against each other exactly.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// modified Bessel I0 via the power series (converges in < 40 terms for
+// beta <= 20; matches np.i0 to ~1e-15 rel)
+double bessel_i0(double x) {
+  double sum = 1.0, term = 1.0;
+  double x2 = x * x / 4.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= x2 / (static_cast<double>(k) * k);
+    sum += term;
+    if (term < sum * 1e-18) break;
+  }
+  return sum;
+}
+
+int64_t gcd64(int64_t a, int64_t b) { return b == 0 ? a : gcd64(b, a % b); }
+
+}  // namespace
+
+extern "C" {
+
+int64_t stz_resample_out_len(int64_t n, int32_t sr_in, int32_t sr_out) {
+  int64_t g = gcd64(sr_in, sr_out);
+  int64_t L = sr_out / g, M = sr_in / g;
+  return (n * L + M - 1) / M;
+}
+
+// Rational L/M resampling with a Kaiser(beta)-windowed sinc low-pass of
+// ``half`` zero crossings per branch.  y[j] = sum_q h[qL+p] x[b-q] with
+// u = jM + center, p = u mod L, b = u div L  (zero-stuffed convolution,
+// evaluated polyphase so each output costs ~2*half*max(1, M/L) madds).
+void stz_resample_poly(const float* x, int64_t n, int32_t sr_in,
+                       int32_t sr_out, int32_t half, double beta,
+                       float* out) {
+  int64_t g = gcd64(sr_in, sr_out);
+  int64_t L = sr_out / g, M = sr_in / g;
+  int64_t out_n = (n * L + M - 1) / M;
+  if (L == M) {
+    std::memcpy(out, x, sizeof(float) * n);
+    return;
+  }
+  int64_t lm = L > M ? L : M;
+  int64_t N = 2 * static_cast<int64_t>(half) * lm + 1;  // taps
+  int64_t center = N / 2;
+  double fc = 0.5 / static_cast<double>(lm);  // cycles/sample, upsampled grid
+  std::vector<double> h(N);
+  double i0b = bessel_i0(beta);
+  for (int64_t i = 0; i < N; ++i) {
+    double t = static_cast<double>(i - center);
+    double s = (t == 0.0) ? 2.0 * fc
+                          : std::sin(2.0 * M_PI * fc * t) / (M_PI * t);
+    double r = t / static_cast<double>(center);
+    double w = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / i0b;
+    h[i] = static_cast<double>(L) * s * w;
+  }
+  for (int64_t j = 0; j < out_n; ++j) {
+    int64_t u = j * M + center;
+    int64_t p = u % L;
+    int64_t b = u / L;
+    int64_t q_hi = (N - 1 - p) / L;
+    double acc = 0.0;
+    for (int64_t q = 0; q <= q_hi; ++q) {
+      int64_t k = b - q;
+      if (k < 0) break;
+      if (k >= n) continue;
+      acc += h[q * L + p] * static_cast<double>(x[k]);
+    }
+    out[j] = static_cast<float>(acc);
   }
 }
 

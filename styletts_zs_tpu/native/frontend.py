@@ -46,6 +46,14 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.stz_resample_out_len.restype = ctypes.c_int64
+    lib.stz_resample_out_len.argtypes = [ctypes.c_int64, ctypes.c_int32,
+                                         ctypes.c_int32]
+    lib.stz_resample_poly.restype = None
+    lib.stz_resample_poly.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float)]
     _LIB = lib
     return _LIB
 
@@ -80,4 +88,17 @@ def frame_energy(wav: np.ndarray, *, hop: int = 300,
     n_frames = lib.stz_n_frames(len(wav), frame_length, hop)
     out = np.zeros(n_frames, np.float32)
     lib.stz_frame_energy(_fptr(wav), len(wav), frame_length, hop, _fptr(out))
+    return out
+
+
+def resample_poly(wav: np.ndarray, sr_in: int, sr_out: int, *,
+                  half: int = 10, beta: float = 8.6) -> np.ndarray:
+    """Native Kaiser-windowed-sinc polyphase resampler (twin:
+    utils/audio.py ``resample_poly_np``)."""
+    lib = _load()
+    wav = np.ascontiguousarray(wav, np.float32)
+    out_n = lib.stz_resample_out_len(len(wav), sr_in, sr_out)
+    out = np.zeros(out_n, np.float32)
+    lib.stz_resample_poly(_fptr(wav), len(wav), sr_in, sr_out, half, beta,
+                          _fptr(out))
     return out

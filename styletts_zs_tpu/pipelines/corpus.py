@@ -69,12 +69,25 @@ def write_wav(path: str, wav: np.ndarray, sr: int) -> None:
 
 
 def resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Linear-interpolation resampler (host-side, no external deps)."""
+    """Linear-interpolation resampler (last-resort fallback; aliases)."""
     if sr_in == sr_out:
         return wav
     n_out = int(round(len(wav) * sr_out / sr_in))
     t_out = np.arange(n_out) * (sr_in / sr_out)
     return np.interp(t_out, np.arange(len(wav)), wav).astype(np.float32)
+
+
+def resample(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Anti-aliased polyphase resampler: native C++ when built, numpy twin
+    otherwise (utils/audio.py ``resample_poly_np``; the two are gated
+    against each other in tests/test_audio_native.py)."""
+    if sr_in == sr_out:
+        return np.asarray(wav, np.float32)
+    from styletts_zs_tpu.utils import audio as audio_utils
+    native = audio_utils._native()
+    if native is not None and hasattr(native, "resample_poly"):
+        return native.resample_poly(wav, sr_in, sr_out)
+    return audio_utils.resample_poly_np(wav, sr_in, sr_out)
 
 
 @dataclass
@@ -137,7 +150,7 @@ class DiskCorpus:
 
     def _load_wav(self, path: str) -> np.ndarray:
         wav, sr = read_wav(path)
-        return resample_linear(wav, sr, self.cfg.audio.sample_rate)
+        return resample(wav, sr, self.cfg.audio.sample_rate)
 
     def __getitem__(self, idx: int) -> dict:
         e = self.entries[int(idx)]

@@ -121,3 +121,47 @@ def _native_f0(wav, sample_rate, hop, frame_length, fmin, fmax, threshold):
     return _native().estimate_f0(wav, sample_rate, hop=hop,
                                  frame_length=frame_length, fmin=fmin,
                                  fmax=fmax, threshold=threshold)
+
+
+def resample_poly_np(wav: np.ndarray, sr_in: int, sr_out: int, *,
+                     half: int = 10, beta: float = 8.6) -> np.ndarray:
+    """Kaiser-windowed-sinc polyphase rational resampler (numpy reference).
+
+    Math twin of the native ``stz_resample_poly`` (styletts_zs_tpu/native/
+    frontend.cc) — tests gate the two against each other.  ``half`` zero
+    crossings per branch; Kaiser ``beta`` 8.6 gives ~80 dB stopband.
+    """
+    import math
+    g = math.gcd(int(sr_in), int(sr_out))
+    L, M = sr_out // g, sr_in // g
+    x = np.asarray(wav, np.float64)
+    n = len(x)
+    if L == M:
+        return np.asarray(wav, np.float32)
+    lm = max(L, M)
+    N = 2 * half * lm + 1
+    center = N // 2
+    fc = 0.5 / lm                      # cycles/sample on the upsampled grid
+    t = np.arange(N, dtype=np.float64) - center
+    s = np.where(t == 0.0, 2.0 * fc,
+                 np.sin(2.0 * np.pi * fc * t) / (np.pi * np.where(t == 0, 1,
+                                                                  t)))
+    r = t / center
+    w = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - r * r))) / np.i0(beta)
+    h = L * s * w                      # (N,) float64
+    # polyphase branches: Hp[p, q] = h[q*L + p]
+    Q = (N - 1) // L + 1
+    Hp = np.zeros((L, Q), np.float64)
+    idx = np.arange(Q) * L
+    for p in range(L):
+        valid = idx + p < N
+        Hp[p, valid] = h[idx[valid] + p]
+    out_n = (n * L + M - 1) // M
+    u = np.arange(out_n, dtype=np.int64) * M + center
+    p = (u % L).astype(np.int64)
+    b = u // L
+    k = b[:, None] - np.arange(Q, dtype=np.int64)[None, :]   # (out_n, Q)
+    ok = (k >= 0) & (k < n)
+    xg = np.where(ok, x[np.clip(k, 0, n - 1)], 0.0)
+    y = np.einsum("oq,oq->o", Hp[p], xg)
+    return y.astype(np.float32)

@@ -275,3 +275,47 @@ def test_local_attention_fwd_lse_matches_plain():
                                atol=1e-5, rtol=1e-5)
     lse = res[4]
     assert np.isfinite(np.asarray(lse)).all()
+
+
+@pytest.mark.parametrize("n_fft,hop,C,T", [(48, 12, 64, 130), (8, 4, 32, 96)])
+def test_synthesis_head_fused_matches_twin(n_fft, hop, C, T):
+    """Fused leaky+conv+epilogue+OLA kernel vs the unfused XLA composition."""
+    n_freq = n_fft // 2 + 1
+    x = _rand((2, T, C), 0, 0.7)
+    w = _rand((7, C, 3 * n_freq), 1, 0.05)
+    b = _rand((3 * n_freq,), 2, 0.1)
+    assert vocoder_kernels.synthesis_head_supported(n_fft=n_fft, hop=hop, K=7)
+    ref = dispatch._synthesis_head_xla(x, w, b, n_fft=n_fft, hop=hop)
+    out = vocoder_kernels.synthesis_head_pallas(x, w, b, n_fft=n_fft, hop=hop)
+    assert out.shape == ref.shape == (2, (T - 1) * hop)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_synthesis_head_grads_match_twin():
+    n_fft, hop, C, T = 48, 12, 32, 60
+    n_freq = n_fft // 2 + 1
+    x = _rand((2, T, C), 0, 0.7)
+    w = _rand((7, C, 3 * n_freq), 1, 0.05)
+    b = _rand((3 * n_freq,), 2, 0.1)
+
+    def loss(up):
+        return lambda x, w, b: jnp.sum(jnp.sin(dispatch.synthesis_head(
+            x, w, b, n_fft=n_fft, hop=hop, use_pallas=up)))
+
+    gp = jax.grad(loss(True), argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(loss(False), argnums=(0, 1, 2))(x, w, b)
+    for a, b_, name in zip(gp, gx, ["x", "w", "b"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_synthesis_head_unsupported_geometry_falls_back():
+    # window spanning > P+1 super-frames must route to the XLA twin
+    assert not vocoder_kernels.synthesis_head_supported(n_fft=512, hop=4, K=7)
+    x, w, b = _rand((1, 40, 8), 0), _rand((7, 8, 3 * 257), 1, 0.01), \
+        _rand((3 * 257,), 2, 0.01)
+    out = dispatch.synthesis_head(x, w, b, n_fft=512, hop=4, use_pallas=True)
+    ref = dispatch._synthesis_head_xla(x, w, b, n_fft=512, hop=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
