@@ -59,9 +59,12 @@ def cmd_synth(args):
         wav = None
     else:
         if args.ref:
-            import scipy.io.wavfile as wavfile
-            sr, ref = wavfile.read(args.ref)
-            ref = ref.astype(np.float32) / 32768.0
+            from styletts_zs_tpu.pipelines.corpus import read_wav, resample
+            ref, sr = read_wav(args.ref)
+            ref = resample(ref, sr, cfg.model.audio.sample_rate)
+            n3 = 3 * cfg.model.audio.sample_rate  # 3 s enrollment window
+            ref = ref[:n3] if len(ref) >= n3 else np.pad(ref,
+                                                         (0, n3 - len(ref)))
             ref = np.tile(ref[None], (cfg.serve.batch_size, 1))
         else:
             ref = np.random.default_rng(0).standard_normal(

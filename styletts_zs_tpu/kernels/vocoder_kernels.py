@@ -366,8 +366,8 @@ def _synth_head_kernel(x_ref, strip_ref, w_ref, b_ref, w0_ref, w1_ref,
     Np = N + P
     kl = (K - 1) // 2
     left = P + kl
-    main = x_ref[0]                        # (N, C)
-    halo = strip_ref[0, 0]                 # (left + kr, C)
+    main = x_ref[...]                      # (N, C) — time-major view
+    halo = strip_ref[0]                    # (left + kr, C)
     window = jnp.concatenate([halo[:left], main, halo[left:]], axis=0)
     # leaky_relu; compare in fp32 (Mosaic: no bf16 compare on v5e)
     h = jnp.where(window.astype(jnp.float32) >= 0, window,
@@ -436,9 +436,20 @@ def synthesis_head_pallas(x, w, b, *, n_fft: int, hop: int,
     left = P + kl
     n_blocks = F_sup // bt
     N = bt * P
-    xp = jnp.pad(x, ((0, 0), (left, kr + (T_pad - T)), (0, 0)))
-    main = xp[:, left: left + T_pad, :]
-    strips = _make_strips(xp, n_blocks, N, left, kr)
+    # Consume x through its TIME-MAJOR view (T, B*C): TPU convs emit
+    # (B, T, C) in layout {2,0,1} — physically (T, B, C) — while a Pallas
+    # operand must be default-layout.  Feeding the (B, T, C) array directly
+    # makes XLA's layout assignment push the default-layout demand backward
+    # through the whole MRF stack (observed: +14 ms of 210 MB relayout
+    # fusions per call); the explicit transpose below is a free bitcast at
+    # the seam instead.
+    xt = jnp.transpose(x, (1, 0, 2)).reshape(T, B * C)
+    xp = jnp.pad(xt, ((left, kr + (T_pad - T)), (0, 0)))
+    l_idx = (jnp.arange(n_blocks)[:, None] * N + jnp.arange(left)[None, :])
+    r_idx = (jnp.arange(n_blocks)[:, None] * N + N + left
+             + jnp.arange(kr)[None, :])
+    strips = xp[jnp.concatenate([l_idx, r_idx], axis=1), :]
+    main = xp[left: left + T_pad, :]
     w_cat = w.reshape(K * C, 3 * n_freq).astype(x.dtype)
     b2 = jnp.asarray(b, jnp.float32).reshape(1, 3 * n_freq)
     W0, W1, _ = _istft_basis_sf(n_fft, hop, P, C2 // 2)
@@ -451,9 +462,9 @@ def synthesis_head_pallas(x, w, b, *, n_fft: int, hop: int,
         kern,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, N, C), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((N, C), lambda bb, i: (i, bb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, left + kr, C), lambda bb, i: (bb, i, 0, 0),
+            pl.BlockSpec((1, left + kr, C), lambda bb, i: (i, 0, bb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K * C, 3 * n_freq), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
