@@ -38,3 +38,18 @@ def test_cli_train_stage1(tmp_path):
               "--steps", "3", "--workdir", str(tmp_path)], timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "training done" in r.stdout
+
+
+def test_cli_synth_ref_wav_off_rate(tmp_path):
+    """--ref WAVs at a non-model sample rate are resampled + 3s-windowed."""
+    from styletts_zs_tpu.pipelines.corpus import write_wav
+    ref = str(tmp_path / "ref16k.wav")
+    t = np.arange(16000) / 16000  # 1 s @ 16 kHz: off-rate AND short
+    write_wav(ref, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+              16000)
+    out = str(tmp_path / "mel.npy")
+    r = _run(["synth", "--config", "configs/tiny.toml", "--text", "hello",
+              "--ref", ref, "--out", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    mel = np.load(out)
+    assert np.isfinite(mel).all()
