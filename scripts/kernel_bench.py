@@ -152,7 +152,9 @@ def bench_istft():
     standalone comparison mostly times that relayout.  In the fused program
     the head conv's epilogue (exp/rsqrt + packing) fuses into one pass, so
     both paths here consume the same (B, F, 27) head tensor through the
-    identical epilogue (models/vocoder.py:79-87).
+    identical epilogue (the composition now lives in
+    kernels/dispatch.py::_synthesis_head_xla; prod fuses the whole tail —
+    see bench_synthesis_head).
     """
     from styletts_zs_tpu.kernels import vocoder_kernels
     from styletts_zs_tpu.ops import stft as stft_ops
