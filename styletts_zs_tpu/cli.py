@@ -60,11 +60,10 @@ def cmd_synth(args):
     else:
         if args.ref:
             from styletts_zs_tpu.pipelines.corpus import read_wav, resample
+            from styletts_zs_tpu.pipelines.preprocess import ref_window
             ref, sr = read_wav(args.ref)
             ref = resample(ref, sr, cfg.model.audio.sample_rate)
-            n3 = 3 * cfg.model.audio.sample_rate  # 3 s enrollment window
-            ref = ref[:n3] if len(ref) >= n3 else np.pad(ref,
-                                                         (0, n3 - len(ref)))
+            ref = ref_window(ref, cfg.model.audio.sample_rate)
             ref = np.tile(ref[None], (cfg.serve.batch_size, 1))
         else:
             ref = np.random.default_rng(0).standard_normal(

@@ -403,9 +403,15 @@ def _synth_head_kernel(x_ref, strip_ref, w_ref, b_ref, w0_ref, w1_ref,
 
 
 def synthesis_head_supported(*, n_fft: int, hop: int, K: int) -> bool:
-    """Geometry gate for the fused head kernel (else: XLA twin)."""
+    """Geometry gate for the fused head kernel (else: XLA twin).
+
+    Requires: the OLA window spans <= 2 super-frames (W0/W1 split), odd K
+    (symmetric SAME conv halo), and n_freq <= C2/2 = 64 so real+imag fit
+    one 128-lane spec row.
+    """
     P = max(1, 128 // hop)
-    return ((n_fft - 1) // hop + 1 <= P) and K % 2 == 1
+    return ((n_fft - 1) // hop + 1 <= P and K % 2 == 1
+            and n_fft // 2 + 1 <= 64)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "block_t"))

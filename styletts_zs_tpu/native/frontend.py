@@ -23,16 +23,30 @@ def _load():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
+    # Always invoke make: it is mtime-based, so an up-to-date .so is a
+    # no-op, and a PREBUILT-BUT-STALE .so (older than frontend.cc, e.g.
+    # after a pull that adds symbols) gets rebuilt instead of raising
+    # AttributeError at symbol-binding time below.
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass  # fall through: a current .so may still exist
     if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    try:
+        return _bind(lib)
+    except AttributeError:
+        # .so predates a symbol and the rebuild failed -> numpy fallback
+        return None
+
+
+def _bind(lib):
+    global _LIB
     lib.stz_n_frames.restype = ctypes.c_int64
     lib.stz_n_frames.argtypes = [ctypes.c_int64, ctypes.c_int32,
                                  ctypes.c_int32]

@@ -23,6 +23,19 @@ class Utterance:
     durations: np.ndarray | None = None  # optional per-phoneme frames
 
 
+def ref_window(wav: np.ndarray, sample_rate: int,
+               seconds: int = 3) -> np.ndarray:
+    """Canonical reference-speaker enrollment window: truncate/zero-pad to
+    ``seconds`` of audio.  Single source of truth for training featurization
+    and the serving CLI (``cli synth --ref``)."""
+    n = seconds * sample_rate
+    out = np.zeros((n,), np.float32)
+    src = np.asarray(wav, np.float32)
+    L = min(len(src), n)
+    out[:L] = src[:L]
+    return out
+
+
 def featurize(utt: Utterance, cfg: ModelConfig, *, n_frames: int,
               text_len: int, ref_wav: np.ndarray | None = None) -> dict:
     """One utterance -> padded training-example dict (Batch fields, unbatched).
@@ -57,11 +70,8 @@ def featurize(utt: Utterance, cfg: ModelConfig, *, n_frames: int,
         cum = np.minimum(np.cumsum(d), frames)
         durs[:n_ph] = np.diff(np.concatenate([[0], cum])).astype(np.int32)
 
-    ref_samples = 3 * a.sample_rate
-    ref = np.zeros((ref_samples,), np.float32)
-    src = np.asarray(ref_wav if ref_wav is not None else utt.wav, np.float32)
-    L = min(len(src), ref_samples)
-    ref[:L] = src[:L]
+    ref = ref_window(ref_wav if ref_wav is not None else utt.wav,
+                     a.sample_rate)
 
     return {
         "phonemes": phon, "text_lengths": np.int32(n_ph),

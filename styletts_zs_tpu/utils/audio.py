@@ -157,11 +157,17 @@ def resample_poly_np(wav: np.ndarray, sr_in: int, sr_out: int, *,
         valid = idx + p < N
         Hp[p, valid] = h[idx[valid] + p]
     out_n = (n * L + M - 1) // M
-    u = np.arange(out_n, dtype=np.int64) * M + center
-    p = (u % L).astype(np.int64)
-    b = u // L
-    k = b[:, None] - np.arange(Q, dtype=np.int64)[None, :]   # (out_n, Q)
-    ok = (k >= 0) & (k < n)
-    xg = np.where(ok, x[np.clip(k, 0, n - 1)], 0.0)
-    y = np.einsum("oq,oq->o", Hp[p], xg)
-    return y.astype(np.float32)
+    y = np.empty(out_n, np.float32)
+    qs = np.arange(Q, dtype=np.int64)[None, :]
+    # chunked so the (chunk, Q) gather temporaries stay ~a few MB instead
+    # of O(out_n x Q) float64 (hundreds of MB for a 20 s 48 kHz wav)
+    chunk = 65536
+    for s in range(0, out_n, chunk):
+        u = np.arange(s, min(s + chunk, out_n), dtype=np.int64) * M + center
+        p = (u % L).astype(np.int64)
+        b = u // L
+        k = b[:, None] - qs                                  # (chunk, Q)
+        ok = (k >= 0) & (k < n)
+        xg = np.where(ok, x[np.clip(k, 0, n - 1)], 0.0)
+        y[s: s + len(u)] = np.einsum("oq,oq->o", Hp[p], xg)
+    return y

@@ -319,3 +319,18 @@ def test_synthesis_head_unsupported_geometry_falls_back():
     out = dispatch.synthesis_head(x, w, b, n_fft=512, hop=4, use_pallas=True)
     ref = dispatch._synthesis_head_xla(x, w, b, n_fft=512, hop=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_synthesis_head_wide_nfreq_falls_back():
+    """n_freq > 64 can't fit one 128-lane spec row: gate must say no and
+    dispatch must route to the twin instead of crashing (review finding)."""
+    assert not vocoder_kernels.synthesis_head_supported(n_fft=128, hop=64,
+                                                        K=7)
+    n_freq = 128 // 2 + 1
+    x = _rand((1, 16, 8), 0)
+    w = _rand((7, 8, 3 * n_freq), 1, 0.01)
+    b = _rand((3 * n_freq,), 2, 0.01)
+    out = dispatch.synthesis_head(x, w, b, n_fft=128, hop=64,
+                                  use_pallas=True)
+    ref = dispatch._synthesis_head_xla(x, w, b, n_fft=128, hop=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
