@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/styletts_run")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--gate-every", type=int, default=0,
+                    help="run the stage quality gate mid-stage every N steps "
+                         "(0 = stage boundaries only); curves land in the "
+                         "report as stageN_curve (VERDICT r2 item 1)")
     args = ap.parse_args()
 
     from styletts_zs_tpu.pipelines import train as T
@@ -53,6 +57,21 @@ def main():
                          with_discriminator=True)
     ds = SyntheticDataset(cfg.model, batch_size=cfg.train.batch_size,
                           seed=cfg.train.seed, n_frames=n_frames)
+
+    # Host-side synthetic data costs ~0.17 s/batch on this 2-core box — a
+    # third of the measured 0.68 s/step wall (r2c).  Overlap it with the
+    # TPU step via a producer thread; only this thread touches ds after
+    # start (np.random.Generator is not thread-safe).
+    import queue
+    import threading
+    batch_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def _producer():
+        while True:
+            batch_q.put(ds.next_batch())
+
+    threading.Thread(target=_producer, daemon=True).start()
+    next_batch = batch_q.get
     # held-out utterances (disjoint seed -> disjoint synthetic speakers/texts)
     # for the stage-boundary quality gates (VERDICT r1 item 8)
     eval_batch = SyntheticDataset(
@@ -67,21 +86,48 @@ def main():
         m = {k: round(float(v), 4) for k, v in metrics.items()}
         print(json.dumps({"stage": stage, "step": step, **m}), flush=True)
 
+    report_path = f"{args.workdir}/quality_report.json"
+
+    def write_report():
+        # incremental: a wall-clock timeout still leaves the curves on disk
+        import os
+        os.makedirs(args.workdir, exist_ok=True)
+        with open(report_path, "w") as f:
+            json.dump(quality, f, indent=1)
+
+    def gate(stage_name, step, fn):
+        res = fn()
+        quality.setdefault(f"{stage_name}_curve", []).append(
+            {"step": step, **res})
+        print(json.dumps({"quality_gate": stage_name, "step": step, **res}),
+              flush=True)
+        write_report()
+        return res
+
     # ---- stage 1: adversarial acoustic autoencoder --------------------
     t0 = time.time()
     tr1 = T.Stage1Trainer(cfg)
     s1 = tr1.init_state(params)
     for step in range(args.steps1):
-        batch = T.batch_to_device(ds.next_batch())
+        batch = T.batch_to_device(next_batch())
         rng, sub = jax.random.split(rng)
         s1, metrics = tr1.train_step(s1, batch, sub)
         if step % args.eval_every == 0:
             log("1", step, metrics)
+        if args.gate_every and step and step % args.gate_every == 0:
+            gate("stage1", step,
+                 lambda: E.evaluate_acoustic(cfg, s1.ema_params, eval_batch))
+            save_params(f"{args.workdir}/stage1", s1.ema_params)
     acoustic_final = s1.ema_params
     save_params(f"{args.workdir}/stage1", acoustic_final)
-    quality["stage1"] = E.evaluate_acoustic(cfg, acoustic_final, eval_batch)
-    print(json.dumps({"quality_gate": "stage1", **quality["stage1"]}),
-          flush=True)
+    quality["stage1"] = gate(
+        "stage1", args.steps1,
+        lambda: E.evaluate_acoustic(cfg, acoustic_final, eval_batch))
+    quality["fsq_usage"] = E.fsq_usage_stats(
+        cfg, acoustic_final["acoustic"], eval_batch)
+    print(json.dumps({"fsq_usage": quality["fsq_usage"]}), flush=True)
+    quality["stage1_wall_s"] = round(time.time() - t0, 1)
+    write_report()
     print(f"stage 1 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- stage 2: style latent diffusion ------------------------------
@@ -89,19 +135,24 @@ def main():
     tr2 = T.Stage2Trainer(cfg)
     s2 = tr2.init_state(params["diffusion"])
     for step in range(args.steps2):
-        batch = T.batch_to_device(ds.next_batch())
+        batch = T.batch_to_device(next_batch())
         rng, sub = jax.random.split(rng)
         s2, metrics = tr2.train_step(s2, acoustic_final["acoustic"], batch,
                                      sub)
         if step % args.eval_every == 0:
             log("2", step, metrics)
+        if args.gate_every and step and step % args.gate_every == 0:
+            rng, sub = jax.random.split(rng)
+            gate("stage2", step, lambda: E.evaluate_diffusion(
+                cfg, acoustic_final["acoustic"], s2["ema"], eval_batch, sub))
+            save_params(f"{args.workdir}/stage2", s2["ema"])
     teacher = s2["ema"]
     save_params(f"{args.workdir}/stage2", teacher)
     rng, sub = jax.random.split(rng)
-    quality["stage2"] = E.evaluate_diffusion(
-        cfg, acoustic_final["acoustic"], teacher, eval_batch, sub)
-    print(json.dumps({"quality_gate": "stage2", **quality["stage2"]}),
-          flush=True)
+    quality["stage2"] = gate("stage2", args.steps2, lambda: E.evaluate_diffusion(
+        cfg, acoustic_final["acoustic"], teacher, eval_batch, sub))
+    quality["stage2_wall_s"] = round(time.time() - t0, 1)
+    write_report()
     print(f"stage 2 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- stage 3: 1-step distillation (A7: ~10k samples) --------------
@@ -110,18 +161,23 @@ def main():
     s3 = tr3.init_state(teacher)
     n3 = min(args.steps3, cfg.train.distill_samples // cfg.train.batch_size)
     for step in range(n3):
-        batch = T.batch_to_device(ds.next_batch())
+        batch = T.batch_to_device(next_batch())
         rng, sub = jax.random.split(rng)
         s3, metrics = tr3.train_step(s3, teacher, acoustic_final["acoustic"],
                                      batch, sub)
         if step % args.eval_every == 0:
             log("3", step, metrics)
+        if args.gate_every and step and step % args.gate_every == 0:
+            rng, sub = jax.random.split(rng)
+            gate("stage3", step, lambda: E.evaluate_distill_gap(
+                cfg, acoustic_final["acoustic"], teacher, s3["params"],
+                eval_batch, sub))
     rng, sub = jax.random.split(rng)
-    quality["stage3"] = E.evaluate_distill_gap(
+    quality["stage3"] = gate("stage3", n3, lambda: E.evaluate_distill_gap(
         cfg, acoustic_final["acoustic"], teacher, s3["params"], eval_batch,
-        sub)
-    print(json.dumps({"quality_gate": "stage3", **quality["stage3"]}),
-          flush=True)
+        sub))
+    quality["stage3_wall_s"] = round(time.time() - t0, 1)
+    write_report()
     print(f"stage 3 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- final bundle + smoke synthesis ------------------------------
@@ -131,7 +187,7 @@ def main():
     save_params(f"{args.workdir}/final", bundle)
 
     syn = Synthesizer(cfg, bundle)
-    batch = ds.next_batch()
+    batch = next_batch()
     import jax.numpy as jnp
     out, wav = syn.synthesize(
         jnp.asarray(batch.phonemes[:2]), jnp.asarray(batch.ref_wav[:2]),
@@ -139,16 +195,22 @@ def main():
         n_frames=n_frames)
     sim = speaker_similarity(cfg, bundle["acoustic"], wav,
                              jnp.asarray(batch.ref_wav[:2, : wav.shape[1]]))
+    # falsifiable zero-shot similarity over the full held-out batch: every
+    # synth scored against every reference (VERDICT r2 item 2)
+    out_b, wav_b = syn.synthesize(
+        jnp.asarray(eval_batch.phonemes), jnp.asarray(eval_batch.ref_wav),
+        text_lengths=jnp.asarray(eval_batch.text_lengths), n_frames=n_frames)
+    margin = E.speaker_similarity_margin(
+        cfg, bundle["acoustic"], wav_b, jnp.asarray(eval_batch.ref_wav))
     quality["final"] = {
         "synthesis_shape": str(wav.shape),
         "speaker_sim_proxy": [round(float(s), 3) for s in sim],
+        **{k: round(v, 4) if isinstance(v, float) else v
+           for k, v in margin.items()},
     }
-    report_path = f"{args.workdir}/quality_report.json"
-    with open(report_path, "w") as f:
-        json.dump(quality, f, indent=1)
+    write_report()
     print(json.dumps({"final_synthesis": str(wav.shape),
-                      "speaker_sim_proxy": [round(float(s), 3) for s in sim]}),
-          flush=True)
+                      **quality["final"]}), flush=True)
     print("pipeline complete; bundle at", f"{args.workdir}/final; "
           f"quality report at {report_path}")
 

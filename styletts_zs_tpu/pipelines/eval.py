@@ -57,6 +57,87 @@ def speaker_similarity(cfg: Config, acoustic_params, wav_a: jax.Array,
     return np.asarray(num / jnp.maximum(den, 1e-8))
 
 
+def speaker_similarity_margin(cfg: Config, acoustic_params,
+                              synth_wav: jax.Array,
+                              ref_wav: jax.Array) -> dict:
+    """Falsifiable zero-shot similarity (VERDICT r2 item 2).
+
+    ``speaker_similarity`` alone is a self-consistency cosine with no
+    negative pairs — it cannot fail.  Here every synthesized utterance is
+    scored against ALL references in the batch (each batch item is a
+    distinct speaker): the positive is its own reference, the negatives are
+    everyone else's.  Reports
+      - sim_margin: mean(pos − max over negatives) — positive iff the model
+        embeds its own reference closer than any other speaker's;
+      - retrieval_acc: fraction where argmax over references == own index
+        (chance = 1/B).
+    Obligation: ``/root/reference/README.md:5`` "high similarity to the
+    reference speaker" needs a metric that CAN read low for a bad model.
+    """
+    acoustic, _, _, _ = build_models(cfg)
+
+    def embed(wav):
+        mel = stft_ops.mel_spectrogram(wav, cfg.model.audio)
+        _, summary = acoustic.apply(acoustic_params, mel,
+                                    method=StyleTTSZS.encode_prompt)
+        e = summary.astype(jnp.float32)
+        return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                               1e-8)
+
+    es = embed(synth_wav)                      # (B, d)
+    er = embed(ref_wav)                        # (B, d)
+    sims = np.asarray(es @ er.T)               # (B_synth, B_ref)
+    B = sims.shape[0]
+    pos = np.diag(sims)
+    neg = sims.copy()
+    np.fill_diagonal(neg, -np.inf)
+    hardest_neg = neg.max(axis=1)
+    return {
+        "sim_pos_mean": float(pos.mean()),
+        "sim_neg_max_mean": float(hardest_neg.mean()),
+        "sim_margin": float((pos - hardest_neg).mean()),
+        "retrieval_acc": float((sims.argmax(axis=1) == np.arange(B)).mean()),
+        "retrieval_chance": round(1.0 / B, 4),
+    }
+
+
+def fsq_usage_stats(cfg: Config, acoustic_params, batch) -> dict:
+    """FSQ codebook-usage diagnostics (VERDICT r2 weak item 3).
+
+    Runs the style extractor + quantizer over a batch and reports per-dim
+    level occupancy entropy (as perplexity, max = n_levels) plus the
+    fraction of distinct full lattice codes — code collapse would show as
+    perplexity ≈ 1 on some dim or unique_frac ≈ 0.
+    """
+    acoustic, _, _, _ = build_models(cfg)
+    from styletts_zs_tpu.ops import fsq as fsq_ops
+    from styletts_zs_tpu.ops.attention import length_mask
+    m = cfg.model
+    mel = stft_ops.mel_spectrogram(jnp.asarray(batch.wav), m.audio)
+    n_frames = batch.f0.shape[1]
+    frame_mask = length_mask(jnp.asarray(batch.frame_lengths), n_frames)
+    _, codes, indices = acoustic.apply(acoustic_params, mel[:, :n_frames],
+                                       frame_mask,
+                                       method=StyleTTSZS.extract_style)
+    levels = m.style.fsq_levels
+    codes = np.asarray(codes).reshape(-1, len(levels))   # (B*K, d_fsq)
+    digits = np.round((codes + 1.0) * (np.asarray(levels) - 1.0) / 2.0)
+    perplexity = []
+    for d, L in enumerate(levels):
+        counts = np.bincount(digits[:, d].astype(np.int64), minlength=L)
+        p = counts / max(counts.sum(), 1)
+        ent = -(p[p > 0] * np.log(p[p > 0])).sum()
+        perplexity.append(float(np.exp(ent)))
+    idx = np.asarray(indices).reshape(-1)
+    return {
+        "fsq_dim_perplexity": [round(p, 2) for p in perplexity],
+        "fsq_dim_levels": list(levels),
+        "fsq_unique_codes": int(np.unique(idx).size),
+        "fsq_unique_frac": round(float(np.unique(idx).size / idx.size), 4),
+        "fsq_n_codes_seen_of": int(idx.size),
+    }
+
+
 def evaluate_acoustic(cfg: Config, g_params, batch) -> dict:
     """Stage-1 boundary quality gate on a held-out batch (VERDICT r1 item 8).
 
