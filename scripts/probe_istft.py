@@ -32,8 +32,8 @@ def main():
     tx = metrics_lib.slope_time_jittered(f_x, re, (im,), k_lo=2, k_hi=20)
     print(f"xla twin {tx*1e6:.1f}us", flush=True)
     for prec in (None, jax.lax.Precision.HIGHEST):
-        VK._PROBE_PRECISION = prec
-        f_p = jax.jit(lambda r, i: VK.istft_pallas(r, i, n_fft=16, hop=4))
+        f_p = jax.jit(lambda r, i, prec=prec: VK.istft_pallas(
+            r, i, n_fft=16, hop=4, precision=prec))
         a = np.asarray(f_p(re, im))
         err = float(np.max(np.abs(a - b[:, : a.shape[1]])))
         tp = metrics_lib.slope_time_jittered(f_p, re, (im,), k_lo=2, k_hi=20)

@@ -33,6 +33,9 @@ def main():
                     help="run the stage quality gate mid-stage every N steps "
                          "(0 = stage boundaries only); curves land in the "
                          "report as stageN_curve (VERDICT r2 item 1)")
+    ap.add_argument("--skip-stage1", default=None, metavar="CKPT_DIR",
+                    help="resume: load stage-1 EMA params from this "
+                         "save_params dir instead of training stage 1")
     args = ap.parse_args()
 
     from styletts_zs_tpu.pipelines import train as T
@@ -104,22 +107,47 @@ def main():
         write_report()
         return res
 
+    # The remote TPU runtime's client leaks ~10 MB of host RSS per
+    # dispatched step (staging buffers for uploaded batches are never
+    # released — measured: 130 GB anon-rss after ~13.6k steps, host OOM).
+    # Periodic sync + gc bounds python-side retention and the RSS log
+    # tracks what remains (runtime-client side; documented in STATUS).
+    import gc
+
+    def housekeeping(stage, step, metrics):
+        if step % 200 == 0:
+            _ = float(list(metrics.values())[0])   # force pipeline drain
+            gc.collect()
+            with open("/proc/self/statm") as f:
+                rss_gb = int(f.read().split()[1]) * 4096 / 1e9
+            print(json.dumps({"rss_gb": round(rss_gb, 2),
+                              "stage": stage, "step": step}), flush=True)
+
     # ---- stage 1: adversarial acoustic autoencoder --------------------
     t0 = time.time()
-    tr1 = T.Stage1Trainer(cfg)
-    s1 = tr1.init_state(params)
-    for step in range(args.steps1):
-        batch = T.batch_to_device(next_batch())
-        rng, sub = jax.random.split(rng)
-        s1, metrics = tr1.train_step(s1, batch, sub)
-        if step % args.eval_every == 0:
-            log("1", step, metrics)
-        if args.gate_every and step and step % args.gate_every == 0:
-            gate("stage1", step,
-                 lambda: E.evaluate_acoustic(cfg, s1.ema_params, eval_batch))
-            save_params(f"{args.workdir}/stage1", s1.ema_params)
-    acoustic_final = s1.ema_params
-    save_params(f"{args.workdir}/stage1", acoustic_final)
+    if args.skip_stage1:
+        from styletts_zs_tpu.pipelines.checkpoint import load_params
+        like = init_params(cfg, jax.random.PRNGKey(0))
+        acoustic_final = load_params(args.skip_stage1,
+                                     like={"acoustic": like["acoustic"],
+                                           "vocoder": like["vocoder"]})
+        print(f"stage 1 skipped; params from {args.skip_stage1}", flush=True)
+    else:
+        tr1 = T.Stage1Trainer(cfg)
+        s1 = tr1.init_state(params)
+        for step in range(args.steps1):
+            batch = T.batch_to_device(next_batch())
+            rng, sub = jax.random.split(rng)
+            s1, metrics = tr1.train_step(s1, batch, sub)
+            housekeeping("1", step, metrics)
+            if step % args.eval_every == 0:
+                log("1", step, metrics)
+            if args.gate_every and step and step % args.gate_every == 0:
+                gate("stage1", step, lambda: E.evaluate_acoustic(
+                    cfg, s1.ema_params, eval_batch))
+                save_params(f"{args.workdir}/stage1", s1.ema_params)
+        acoustic_final = s1.ema_params
+        save_params(f"{args.workdir}/stage1", acoustic_final)
     quality["stage1"] = gate(
         "stage1", args.steps1,
         lambda: E.evaluate_acoustic(cfg, acoustic_final, eval_batch))
@@ -139,6 +167,7 @@ def main():
         rng, sub = jax.random.split(rng)
         s2, metrics = tr2.train_step(s2, acoustic_final["acoustic"], batch,
                                      sub)
+        housekeeping("2", step, metrics)
         if step % args.eval_every == 0:
             log("2", step, metrics)
         if args.gate_every and step and step % args.gate_every == 0:
@@ -165,6 +194,7 @@ def main():
         rng, sub = jax.random.split(rng)
         s3, metrics = tr3.train_step(s3, teacher, acoustic_final["acoustic"],
                                      batch, sub)
+        housekeeping("3", step, metrics)
         if step % args.eval_every == 0:
             log("3", step, metrics)
         if args.gate_every and step and step % args.gate_every == 0:

@@ -172,7 +172,9 @@ def cmd_accept(args):
                                                 full_size=args.full or None)
                   for lv in (1, 2, 3, 4, 5)}
     else:
-        report = run_acceptance(args.level, full_size=args.full or None)
+        report = run_acceptance(args.level, full_size=args.full or None,
+                                n_requests=args.requests,
+                                use_mesh=args.mesh)
     print(json.dumps(report, indent=2))
 
 
@@ -217,6 +219,10 @@ def main():
                     required=True, help="1-5, or 0 for all five aggregated")
     pa.add_argument("--full", action="store_true",
                     help="force full-size model (default: full on TPU)")
+    pa.add_argument("--requests", type=int, default=None,
+                    help="level 5: request count (contract scale 4096)")
+    pa.add_argument("--mesh", action="store_true",
+                    help="level 5: data-parallel dispatch over all devices")
     pa.set_defaults(fn=cmd_accept)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

@@ -346,6 +346,7 @@ def synthesis_head(x, w, b, *, n_fft: int, hop: int,
     """
     from styletts_zs_tpu.kernels import vocoder_kernels
     if use_pallas and vocoder_kernels.synthesis_head_supported(
-            n_fft=n_fft, hop=hop, K=w.shape[0]):
+            n_fft=n_fft, hop=hop, K=w.shape[0], channels=x.shape[-1],
+            dtype=x.dtype):
         return _synthesis_head_ad(n_fft, hop)(x, w, b)
     return _synthesis_head_xla(x, w, b, n_fft=n_fft, hop=hop)

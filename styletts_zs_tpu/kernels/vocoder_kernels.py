@@ -268,11 +268,6 @@ def _istft_basis_sf(n_fft: int, hop: int, P: int, n_freq_pad: int):
     return W0, W1, M
 
 
-# matmul precision for the super-frame kernel (module-level so the on-chip
-# probe can sweep it; None = MXU default, i.e. bf16-truncated inputs)
-_PROBE_PRECISION = None
-
-
 def _istft_sf_kernel(xs_ref, strip_ref, w0_ref, w1_ref, env_ref, o_ref, *,
                      precision):
     """o = (xs @ W0 + prev_row(xs) @ W1) * inv_env  per (bt, 128) tile."""
@@ -402,14 +397,27 @@ def _synth_head_kernel(x_ref, strip_ref, w_ref, b_ref, w0_ref, w1_ref,
     o_ref[0] = (out * env_ref[...]).astype(o_ref.dtype)
 
 
-def synthesis_head_supported(*, n_fft: int, hop: int, K: int) -> bool:
+def synthesis_head_supported(*, n_fft: int, hop: int, K: int,
+                             channels: int | None = None,
+                             dtype=None) -> bool:
     """Geometry gate for the fused head kernel (else: XLA twin).
 
     Requires: the OLA window spans <= 2 super-frames (W0/W1 split), odd K
     (symmetric SAME conv halo), and n_freq <= C2/2 = 64 so real+imag fit
-    one 128-lane spec row.
+    one 128-lane spec row.  When given, ``channels`` must be lane-aligned
+    (C % 128 == 0 — Mosaic rejects the narrower super-frame fold reshape at
+    TPU compile time, after the XLA twin was already bypassed; ADVICE r2)
+    and ``dtype`` one the kernel's matmuls accept.
     """
+    import jax.numpy as _jnp
     P = max(1, 128 // hop)
+    # Mosaic's lane-fold restriction only exists on the real TPU compile;
+    # interpret mode (CPU tests) keeps exercising the kernel at narrow C
+    if channels is not None and channels % 128 != 0 and not _interpret():
+        return False
+    if dtype is not None and _jnp.dtype(dtype) not in (
+            _jnp.dtype(_jnp.bfloat16), _jnp.dtype(_jnp.float32)):
+        return False
     return ((n_fft - 1) // hop + 1 <= P and K % 2 == 1
             and n_fft // 2 + 1 <= 64)
 
@@ -492,7 +500,7 @@ def synthesis_head_pallas(x, w, b, *, n_fft: int, hop: int,
     return jax.lax.dynamic_slice_in_dim(wav, start, (T - 1) * hop, axis=1)
 
 
-def istft_pallas(real, imag, *, n_fft: int, hop: int):
+def istft_pallas(real, imag, *, n_fft: int, hop: int, precision=None):
     """Pallas twin of the iSTFT head (``dispatch.istft_head`` XLA path).
 
     real/imag: (B, F, n_freq) -> wav (B, (F-1)*hop), centered trim.
@@ -530,6 +538,6 @@ def istft_pallas(real, imag, *, n_fft: int, hop: int):
     inv_env = (1.0 / _istft_env(n_fft, hop, F, S_pad)).astype(np.float32)
     inv_env = jnp.asarray(inv_env.reshape(F_sup, P * hop))
     out = _istft_sf_impl(xs, inv_env, n_fft=n_fft, hop=hop, P=P,
-                         block_t=block_t, precision=_PROBE_PRECISION)
+                         block_t=block_t, precision=precision)
     wav = out.reshape(B, S_pad)
     return jax.lax.dynamic_slice_in_dim(wav, start, (F - 1) * hop, axis=1)

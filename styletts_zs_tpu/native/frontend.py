@@ -16,6 +16,28 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libstz_frontend.so")
 _LIB = None
 _TRIED = False
+_LOGGED: set[str] = set()
+
+
+def _log_once(msg: str) -> None:
+    """One stderr line per distinct message — a silent fallback pinned the
+    numpy path for a whole session once (ADVICE r2)."""
+    if msg not in _LOGGED:
+        _LOGGED.add(msg)
+        import sys
+        print(f"styletts_zs_tpu.native: {msg}", file=sys.stderr)
+
+
+def _require():
+    """Public-twin guard: the docstrings advertise these as callable
+    directly, so a missing lib must raise clearly, not AttributeError."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native libstz_frontend.so unavailable (build failed or g++ "
+            "missing); use the numpy twins in styletts_zs_tpu.utils.audio "
+            "(resample_poly_np / estimate_f0 / frame_energy)")
+    return lib
 
 
 def _load():
@@ -30,18 +52,21 @@ def _load():
     try:
         subprocess.run(["make", "-C", _DIR], check=True,
                        capture_output=True, timeout=120)
-    except Exception:
-        pass  # fall through: a current .so may still exist
+    except Exception as e:  # fall through: a current .so may still exist
+        _log_once(f"native frontend build failed ({e!r}); "
+                  f"using prebuilt .so if present, else numpy fallback")
     if not os.path.exists(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
+    except OSError as e:
+        _log_once(f"libstz_frontend.so unloadable ({e}); numpy fallback")
         return None
     try:
         return _bind(lib)
-    except AttributeError:
+    except AttributeError as e:
         # .so predates a symbol and the rebuild failed -> numpy fallback
+        _log_once(f"libstz_frontend.so stale ({e}); numpy fallback")
         return None
 
 
@@ -83,7 +108,7 @@ def _fptr(a: np.ndarray):
 def estimate_f0(wav: np.ndarray, sample_rate: int, *, hop: int = 300,
                 frame_length: int = 1200, fmin: float = 60.0,
                 fmax: float = 400.0, threshold: float = 0.1):
-    lib = _load()
+    lib = _require()
     wav = np.ascontiguousarray(wav, np.float32)
     n_frames = lib.stz_n_frames(len(wav), frame_length, hop)
     f0 = np.zeros(n_frames, np.float32)
@@ -97,7 +122,7 @@ def estimate_f0(wav: np.ndarray, sample_rate: int, *, hop: int = 300,
 
 def frame_energy(wav: np.ndarray, *, hop: int = 300,
                  frame_length: int = 1200) -> np.ndarray:
-    lib = _load()
+    lib = _require()
     wav = np.ascontiguousarray(wav, np.float32)
     n_frames = lib.stz_n_frames(len(wav), frame_length, hop)
     out = np.zeros(n_frames, np.float32)
@@ -109,7 +134,7 @@ def resample_poly(wav: np.ndarray, sr_in: int, sr_out: int, *,
                   half: int = 10, beta: float = 8.6) -> np.ndarray:
     """Native Kaiser-windowed-sinc polyphase resampler (twin:
     utils/audio.py ``resample_poly_np``)."""
-    lib = _load()
+    lib = _require()
     wav = np.ascontiguousarray(wav, np.float32)
     out_n = lib.stz_resample_out_len(len(wav), sr_in, sr_out)
     out = np.zeros(out_n, np.float32)

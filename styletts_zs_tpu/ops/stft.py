@@ -177,7 +177,8 @@ def istft(real: jax.Array, imag: jax.Array, cfg: AudioConfig, *,
 
     real/imag: (B, F, n_freq) -> wav (B, (F-1)*hop) when center=True.
     This is the XLA twin of the Pallas overlap-add kernel
-    (styletts_zs_tpu/kernels/istft_kernel.py); both must agree (SURVEY.md §2.3).
+    (styletts_zs_tpu/kernels/vocoder_kernels.py ``istft_pallas``); both must
+    agree (SURVEY.md §2.3).
     """
     n_fft, win, hop = cfg.n_fft, cfg.win_length, cfg.hop_length
     n_freq = n_fft // 2 + 1

@@ -76,6 +76,43 @@ def assign_to_buckets(lengths: np.ndarray,
     return {b: np.asarray(v, np.int32) for b, v in groups.items() if v}
 
 
+def style_cluster_ids(styles: np.ndarray, n_bits: int = 8) -> np.ndarray:
+    """Deterministic coarse speaker-cluster ids from a style table.
+
+    styles: (N, d) replicated style codes / prompt summaries (after
+    ``collectives.gather_style_codes`` / ``process_concat_styles``).  The id
+    is the sign pattern of the first ``n_bits`` centered dims — a locality
+    hash good enough to spread same-speaker requests apart; every host
+    computes the identical ids from the identical replicated table.
+    """
+    styles = np.asarray(styles, np.float32).reshape(styles.shape[0], -1)
+    n_bits = min(n_bits, styles.shape[1])
+    centered = styles[:, :n_bits] - np.median(styles[:, :n_bits], axis=0)
+    bits = (centered > 0).astype(np.int64)
+    return (bits * (1 << np.arange(n_bits))).sum(axis=1)
+
+
+def mixed_speaker_order(idxs: np.ndarray, cluster_ids: np.ndarray,
+                        batch_size: int) -> np.ndarray:
+    """Order one bucket's request indices so consecutive ``batch_size``
+    slices are mixed-speaker (``BASELINE.json:11`` "mixed-speaker batch").
+
+    Round-robins across style clusters: stable-sorts each cluster's members,
+    then interleaves cluster queues.  Deterministic given (idxs, cluster_ids)
+    — both derived from replicated collective outputs, so every host
+    produces the identical dispatch order.
+    """
+    idxs = np.asarray(idxs)
+    cids = np.asarray(cluster_ids)[idxs]
+    queues = [idxs[cids == c].tolist() for c in np.unique(cids)]
+    out: list[int] = []
+    while queues:
+        for q in queues:
+            out.append(q.pop(0))
+        queues = [q for q in queues if q]
+    return np.asarray(out, idxs.dtype)
+
+
 def pad_batch(arrays: list[np.ndarray], target_len: int,
               pad_value=0) -> np.ndarray:
     """Stack variable-length (T, ...) arrays into (B, target_len, ...)."""

@@ -7,13 +7,16 @@ explicit code is the *metadata* exchange (SURVEY.md §5.8): every participant
 must derive the IDENTICAL global bucket plan so the compiled program
 sequence — and therefore the collective schedule — is uniform.
 
-Two transports, same contract:
-  - ``gather_length_histograms``: across a mesh's data axis (ICI), via
-    ``jax.shard_map`` + ``lax.all_gather`` — used by the sharded serving /
-    training paths and exercised in tests + ``__graft_entry__``.
-  - ``process_sum_histogram``: across hosts (DCN), via
-    ``multihost_utils.process_allgather`` — used by ``pipelines.serve`` on a
-    pod; degenerates to identity on one process.
+Two named exchanges (``BASELINE.json:5`` "style-code AND length metadata"),
+each on two transports:
+  - lengths: ``gather_length_histograms`` across a mesh's data axis (ICI,
+    ``jax.shard_map`` + ``lax.all_gather``) and ``process_sum_histogram``
+    across hosts (DCN, ``multihost_utils.process_allgather``) — feed
+    ``bucketing.plan_buckets``.
+  - style codes: ``gather_style_codes`` (ICI) and ``process_concat_styles``
+    (DCN) — replicate the per-request style table for mixed-speaker batch
+    assembly (``pipelines.serve``, ``bucketing.mixed_speaker_order``).
+Both degenerate to identity on one shard/process.
 """
 from __future__ import annotations
 
@@ -55,6 +58,42 @@ def gather_length_histograms(mesh, lengths: jax.Array, boundaries):
     # out stacks each shard's gathered copy -> (n_data * n_data, n_buckets);
     # every copy is identical, return the first
     return out.reshape(n_data, n_data, -1)[0]
+
+
+def gather_style_codes(mesh, codes: jax.Array) -> jax.Array:
+    """All-gather per-shard style codes / prompt summaries across the data
+    axis (ICI) — the second named metadata exchange of ``BASELINE.json:5``
+    ("style-code and length metadata exchanged via collectives").
+
+    ``codes``: (N, ...) with N divisible by the data-axis size, sharded (or
+    shardable) over ``data`` — e.g. (N, d) prompt-encoder summaries or
+    (N, K, d_fsq) FSQ style codes.  Returns the full (N, ...) table,
+    identical on every shard, so every participant can assemble the same
+    mixed-speaker batches (SURVEY.md §5.8).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def shard_fn(c):
+        return jax.lax.all_gather(c, DATA_AXIS, tiled=True)
+
+    out = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=P(DATA_AXIS),
+        out_specs=P(DATA_AXIS)))(codes)
+    # each shard emits the full (N, ...) table; out_specs stacks them to
+    # (n_data * N, ...) — every copy is identical, return the first
+    return out.reshape(n_data, -1, *out.shape[1:])[0]
+
+
+def process_concat_styles(local: np.ndarray) -> np.ndarray:
+    """Concatenate per-host style tables over DCN (hosts ordered by process
+    index) so every host sees the global (N_total, ...) table.  Degenerate
+    identity with one process — the DCN twin of ``gather_style_codes``.
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(local)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(jnp.asarray(local))
+    return np.asarray(gathered).reshape(-1, *local.shape[1:])
 
 
 def process_sum_histogram(local_hist: np.ndarray) -> np.ndarray:

@@ -2,10 +2,13 @@
 
 Flow per SURVEY.md §5.8 / §7.2-6:
   1. collect requests (phonemes + reference audio), estimate frame lengths;
-  2. exchange per-host bucket histograms (all_gather over DCN when
-     multi-host; degenerate identity on one host);
-  3. derive the identical global BucketPlan on every host, so the compiled
-     program sequence — and therefore the collective schedule — is uniform;
+  2. exchange per-host bucket histograms AND the per-request style-code
+     table (all_gather over DCN when multi-host, re-gathered over the mesh's
+     data axis; ``BASELINE.json:5`` "style-code and length metadata
+     exchanged via collectives");
+  3. derive the identical global BucketPlan and mixed-speaker dispatch order
+     on every host, so the compiled program sequence — and therefore the
+     collective schedule — is uniform;
   4. run one jitted synthesis program per bucket (programs are compile-cached
      per (bucket, batch) shape), batches data-parallel over the mesh;
   5. requeue a bucket's batch on per-batch failure (SURVEY.md §5.3).
@@ -48,7 +51,62 @@ class Server:
         self.params = params
         self.mesh = mesh
         self._programs: dict[tuple, object] = {}
+        self._style_program = None
         self.requeued: list[Request] = []
+
+    # ------------------------------------------------------------------
+    # style-code metadata exchange (BASELINE.json:5 "style-code and length
+    # metadata exchanged via collectives"; SURVEY.md §5.8)
+    # ------------------------------------------------------------------
+
+    _STYLE_CHUNK = 64  # static-shape prompt-encoder chunk
+
+    def exchange_style_codes(self, requests: list[Request]) -> np.ndarray:
+        """Per-request prompt-encoder summaries, exchanged so every host /
+        shard holds the identical global (N, d) style table.
+
+        Local compute: chunked fixed-shape prompt-encoder program.  DCN:
+        ``collectives.process_concat_styles`` (identity on one host).  ICI:
+        when a mesh is attached, the table is re-gathered shard-to-shard via
+        ``collectives.gather_style_codes`` so the mixed-speaker assembly
+        provably runs off the collective's output.
+        """
+        a = self.cfg.model.audio
+        ref_len = 3 * a.sample_rate
+        C = self._STYLE_CHUNK
+        if self._style_program is None:
+            from styletts_zs_tpu.models.tts import StyleTTSZS
+            from styletts_zs_tpu.pipelines.factory import build_models
+            acoustic, _, _, _ = build_models(self.cfg)
+
+            def summaries(params, ref_mel):
+                _, summary = acoustic.apply(params["acoustic"], ref_mel,
+                                            method=StyleTTSZS.encode_prompt)
+                return summary
+            self._style_program = jax.jit(summaries)
+
+        chunks = []
+        for start in range(0, len(requests), C):
+            group = requests[start: start + C]
+            refs = np.zeros((C, ref_len), np.float32)
+            for j, r in enumerate(group):
+                L = min(len(r.ref_wav), ref_len)
+                refs[j, :L] = r.ref_wav[:L]
+            ref_mel = stft_ops.mel_spectrogram(jnp.asarray(refs), a)
+            chunks.append(np.asarray(
+                self._style_program(self.params, ref_mel))[: len(group)])
+        local = np.concatenate(chunks, axis=0) if chunks else \
+            np.zeros((0, 1), np.float32)
+        table = collectives.process_concat_styles(local)
+        if self.mesh is not None and table.shape[0]:
+            n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+            pad = -table.shape[0] % n_data
+            padded = np.pad(table, [(0, pad)] + [(0, 0)] * (table.ndim - 1))
+            sharded = jax.device_put(
+                jnp.asarray(padded), mesh_lib.batch_sharding(self.mesh))
+            gathered = collectives.gather_style_codes(self.mesh, sharded)
+            table = np.asarray(gathered)[: table.shape[0]]
+        return table
 
     # ------------------------------------------------------------------
 
@@ -88,11 +146,19 @@ class Server:
         requests = requests[: s.max_global_batch]
         buckets_map = bucketing.assign_to_buckets(
             np.asarray([r.est_frames for r in requests]), s.frame_buckets)
+        # mixed-speaker assembly (BASELINE.json:11): exchange the style-code
+        # table, then round-robin style clusters within each bucket so every
+        # batch mixes speakers — identically on every host (replicated table)
+        style_table = self.exchange_style_codes(requests)
+        cluster_ids = bucketing.style_cluster_ids(style_table)
+        self.last_style_table = style_table
         text_len = cfg.model.max_text_len
         ref_len = 3 * a.sample_rate
         results: list[Result] = []
 
         for bucket, idxs in buckets_map.items():
+            idxs = bucketing.mixed_speaker_order(idxs, cluster_ids,
+                                                 s.batch_size)
             B = s.batch_size
             for start in range(0, len(idxs), B):
                 group = [requests[i] for i in idxs[start: start + B]]

@@ -112,7 +112,10 @@ def _native():
         try:
             from styletts_zs_tpu.native import frontend as native_frontend
             _NATIVE = native_frontend if native_frontend.available() else None
-        except Exception:
+        except Exception as e:
+            import sys
+            print(f"styletts_zs_tpu.utils.audio: native frontend import "
+                  f"failed ({e!r}); numpy fallbacks in use", file=sys.stderr)
             _NATIVE = None
     return _NATIVE
 
@@ -162,12 +165,13 @@ def resample_poly_np(wav: np.ndarray, sr_in: int, sr_out: int, *,
     # chunked so the (chunk, Q) gather temporaries stay ~a few MB instead
     # of O(out_n x Q) float64 (hundreds of MB for a 20 s 48 kHz wav)
     chunk = 65536
-    for s in range(0, out_n, chunk):
-        u = np.arange(s, min(s + chunk, out_n), dtype=np.int64) * M + center
+    for off in range(0, out_n, chunk):
+        u = np.arange(off, min(off + chunk, out_n), dtype=np.int64) * M \
+            + center
         p = (u % L).astype(np.int64)
         b = u // L
         k = b[:, None] - qs                                  # (chunk, Q)
         ok = (k >= 0) & (k < n)
         xg = np.where(ok, x[np.clip(k, 0, n - 1)], 0.0)
-        y[s: s + len(u)] = np.einsum("oq,oq->o", Hp[p], xg)
+        y[off: off + len(u)] = np.einsum("oq,oq->o", Hp[p], xg)
     return y

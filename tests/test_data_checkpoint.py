@@ -78,3 +78,78 @@ def test_longform_multichunk_decoder():
     mel = model.apply(params, aligned, f0, en, style)
     assert mel.shape == (1, T, CFG.model.audio.n_mels)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_sharding_aware_restore_onto_mesh(tmp_path):
+    """SURVEY.md §5.4 "sharding-aware restore": params saved on a single
+    device restore directly onto a (4, 2) mesh via StandardRestore with a
+    sharding-annotated abstract target — values allclose, shardings applied
+    (VERDICT r2 item 6)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from styletts_zs_tpu.parallel import mesh as mesh_lib
+    from styletts_zs_tpu.parallel.sharding import param_shardings
+    from styletts_zs_tpu.pipelines.checkpoint import load_params, save_params
+    from styletts_zs_tpu.pipelines.factory import init_params
+
+    params = init_params(CFG, jax.random.PRNGKey(0))["acoustic"]
+    p = str(tmp_path / "mesh_ckpt")
+    save_params(p, params)  # single-device layout
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    shardings = param_shardings(params, mesh, min_shard_dim=32)
+    abstract = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        params, shardings)
+    back = load_params(p, like=abstract)
+
+    # every leaf restored with the requested sharding and original values
+    flat, _ = jax.tree_util.tree_flatten_with_path(back)
+    n_sharded = 0
+    for path, leaf in flat:
+        want = shardings
+        for k in path:
+            want = want[k.key] if hasattr(k, "key") else want[k.idx]
+        assert leaf.sharding == want, (path, leaf.sharding, want)
+        if any(ax is not None for ax in leaf.sharding.spec):
+            n_sharded += 1
+    assert n_sharded > 0, "no param was tensor-sharded; mesh restore vacuous"
+    ref = jax.tree_util.tree_leaves(params)
+    got = jax.tree_util.tree_leaves(back)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_stage_handoff_restore_under_mesh(tmp_path):
+    """Stage-1 -> stage-2 handoff with the frozen encoder params restored
+    onto a data-parallel mesh: one sharded stage-2 step runs off the
+    restored tree (SURVEY.md §5.4 stage-boundary checkpoint handoff)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from styletts_zs_tpu.parallel import mesh as mesh_lib
+    from styletts_zs_tpu.pipelines import train as train_lib
+    from styletts_zs_tpu.pipelines.checkpoint import load_params, save_params
+    from styletts_zs_tpu.pipelines.factory import init_params
+
+    params = init_params(CFG, jax.random.PRNGKey(0), with_discriminator=True)
+    p = str(tmp_path / "handoff")
+    save_params(p, params["acoustic"])
+
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=mesh_lib.replicated(mesh)),
+        params["acoustic"])
+    acoustic = load_params(p, like=abstract)
+
+    tr2 = train_lib.Stage2Trainer(CFG)
+    s2 = jax.device_put(tr2.init_state(params["diffusion"]),
+                        mesh_lib.replicated(mesh))
+    ds = D.SyntheticDataset(CFG.model, batch_size=8, seed=0, n_frames=64,
+                            text_len=16)
+    batch = train_lib.batch_to_device(ds.next_batch(),
+                                      mesh_lib.batch_sharding(mesh))
+    _, metrics = tr2.train_step(s2, acoustic, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["diff"]))

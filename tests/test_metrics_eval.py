@@ -117,3 +117,34 @@ def test_quality_gate_evaluators_finite():
                                   params["diffusion"], params["diffusion"],
                                   batch, rng, n_teacher_steps=2)
     assert np.isfinite(rep3["distill_latent_mse"])
+
+
+def test_similarity_margin_falsifiable():
+    """The margin metric must be able to FAIL: identical synth/ref tables
+    give zero margin and chance-level retrieval; well-separated speaker
+    pairs give positive margin and perfect retrieval (VERDICT r2 item 2)."""
+    import jax
+    cfg, params, batch = _tiny_setup()
+    import jax.numpy as jnp
+    wavs = jnp.asarray(batch.ref_wav[:, :8000])
+    # degenerate case: every synth is the SAME waveform -> margin ~ 0
+    same = jnp.broadcast_to(wavs[:1], wavs.shape)
+    rep = E.speaker_similarity_margin(cfg, params["acoustic"], same, same)
+    assert rep["sim_margin"] < 0.05
+    # matched case: synth == its own reference (distinct speakers) ->
+    # positive margin, retrieval above chance
+    rep2 = E.speaker_similarity_margin(cfg, params["acoustic"], wavs, wavs)
+    assert rep2["sim_margin"] > 0.0
+    assert rep2["retrieval_acc"] >= rep2["retrieval_chance"]
+    for v in rep2.values():
+        assert np.isfinite(v)
+
+
+def test_fsq_usage_stats_shapes():
+    cfg, params, batch = _tiny_setup()
+    rep = E.fsq_usage_stats(cfg, params["acoustic"], batch)
+    levels = cfg.model.style.fsq_levels
+    assert len(rep["fsq_dim_perplexity"]) == len(levels)
+    for p, L in zip(rep["fsq_dim_perplexity"], levels):
+        assert 1.0 <= p <= L + 1e-6
+    assert 0.0 < rep["fsq_unique_frac"] <= 1.0

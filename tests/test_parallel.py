@@ -164,3 +164,55 @@ def test_bucketing_plan():
     assert sum(len(v) for v in groups.values()) == len(lengths)
     batch = bucketing.pad_batch([np.ones((3, 2)), np.ones((5, 2))], 8)
     assert batch.shape == (2, 8, 2)
+
+
+def test_style_code_all_gather_shard_map():
+    """Style-code table exchange — the second named metadata collective of
+    BASELINE.json:5 ("style-code and length metadata")."""
+    from styletts_zs_tpu.parallel import collectives
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.standard_normal((16, 4, 6)), jnp.float32)
+    sharded = jax.device_put(codes, mesh_lib.batch_sharding(mesh))
+
+    table = collectives.gather_style_codes(mesh, sharded)
+    assert table.shape == (16, 4, 6)
+    # replicated output must equal the global input table bit-exactly
+    np.testing.assert_array_equal(np.asarray(table), np.asarray(codes))
+    # 2-D summaries take the same path
+    summ = jax.device_put(jnp.asarray(rng.standard_normal((8, 5)),
+                                      jnp.float32),
+                          mesh_lib.batch_sharding(mesh))
+    t2 = collectives.gather_style_codes(mesh, summ)
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(summ))
+    # single-process DCN twin degenerates to identity
+    np.testing.assert_array_equal(
+        collectives.process_concat_styles(np.asarray(codes)),
+        np.asarray(codes))
+
+
+def test_mixed_speaker_order():
+    """Round-robin style-cluster interleave: deterministic, a permutation,
+    and consecutive batches mix clusters when possible."""
+    idxs = np.arange(12, dtype=np.int32)
+    # 3 clusters of 4 members each (cluster id = idx % 3 pattern)
+    cluster_ids = np.asarray([0, 1, 2] * 4 + [99] * 4)  # extra ids unused
+    order = bucketing.mixed_speaker_order(idxs, cluster_ids[:16], 3)
+    assert sorted(order.tolist()) == idxs.tolist()
+    # each batch of 3 holds 3 distinct clusters (round-robin)
+    for s in range(0, 12, 3):
+        batch = order[s: s + 3]
+        assert len({int(cluster_ids[i]) for i in batch}) == 3
+    # deterministic
+    order2 = bucketing.mixed_speaker_order(idxs, cluster_ids[:16], 3)
+    np.testing.assert_array_equal(order, order2)
+
+
+def test_style_cluster_ids_separate_speakers():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1, 16)) * 0.01
+    styles = np.concatenate([a + 3.0, a - 3.0] * 4, axis=0)  # 2 speakers
+    ids = bucketing.style_cluster_ids(styles)
+    assert len(np.unique(ids)) == 2
+    # same-speaker rows hash identically
+    assert (ids[::2] == ids[0]).all() and (ids[1::2] == ids[1]).all()

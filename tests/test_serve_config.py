@@ -98,3 +98,20 @@ def test_sampler_reproducible_given_rng():
     out1, _ = syn.synthesize(ph, ref, rng=r, n_frames=64, with_vocoder=False)
     out2, _ = syn.synthesize(ph, ref, rng=r, n_frames=64, with_vocoder=False)
     np.testing.assert_array_equal(np.asarray(out1.mel), np.asarray(out2.mel))
+
+
+def test_serving_contract_scale_plan_parity():
+    """Level-5 mechanism at a reduced count: every request completes, the
+    collective-derived plan matches the served batch counts, and the
+    style-code table covers all requests (BASELINE.json:11; the full
+    4096-request run is the committed artifact
+    docs/artifacts/acceptance_l5_4096_cpu8.json)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from styletts_zs_tpu.pipelines.acceptance import run_acceptance
+    rep = run_acceptance(5, full_size=False, n_requests=48, use_mesh=True)
+    assert rep["completed"] == 48 and rep["requeued"] == 0
+    assert rep["plan_matches_served"]
+    assert rep["style_table_shape"][0] == 48
+    assert rep["mesh"] == "{'data': 8, 'model': 1}"
