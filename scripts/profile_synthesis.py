@@ -26,7 +26,7 @@ from styletts_zs_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 
-def capture(logdir: str, calls: int) -> None:
+def capture(logdir: str, calls: int, batch: int | None = None) -> None:
     from styletts_zs_tpu.pipelines.factory import init_params
     from styletts_zs_tpu.pipelines.infer import make_synthesis_fn
     from styletts_zs_tpu.utils import metrics as M
@@ -38,10 +38,10 @@ def capture(logdir: str, calls: int) -> None:
         cfg = Config(model=ModelConfig(max_text_len=256, max_frames=1024),
                      runtime=RuntimeConfig(compute_dtype="bfloat16",
                                            use_pallas=True))
-        B = 32
+        B = batch or 32
     else:
         cfg = tiny_test_config()
-        B = 2
+        B = batch or 2
     m = cfg.model
     params = init_params(cfg, jax.random.PRNGKey(0))
     fn = jax.jit(make_synthesis_fn(cfg, one_step=True, with_vocoder=True,
@@ -90,8 +90,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--logdir", default="/tmp/synth_trace")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch (e.g. 1 for the RTF@1 cross-check, "
+                         "VERDICT r2 item 8)")
     args = ap.parse_args()
-    capture(args.logdir, args.calls)
+    capture(args.logdir, args.calls, args.batch)
     print(json.dumps(summarize(args.logdir, args.calls), indent=1))
 
 
