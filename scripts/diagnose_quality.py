@@ -48,7 +48,9 @@ def margin_from_mels(acoustic, acoustic_params, synth_mel, ref_mel):
         return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
                                1e-8)
 
-    sims = np.asarray(embed(synth_mel) @ embed(ref_mel).T)
+    # np.array (copy): np.asarray on a JAX array returns a READ-ONLY view,
+    # and np.fill_diagonal below writes in place (r3 crash: EXIT 1 at Q3)
+    sims = np.array(embed(synth_mel) @ embed(ref_mel).T)
     B = sims.shape[0]
     pos = np.diag(sims).copy()
     retrieval = float((sims.argmax(axis=1) == np.arange(B)).mean())
@@ -178,6 +180,17 @@ def main():
     for k in ("q3_margin_synth_mel_direct", "q3_margin_synth_wav_mel",
               "q3_margin_teacher_forced_mel", "q3_margin_gt_mel"):
         print(json.dumps({k: report[k]}), flush=True)
+
+    # ---- Q4: stage-2 gate noise band (VERDICT r3 item 3) --------------
+    # Re-evaluate the committed teacher with 4 sampler seeds: how much of
+    # the held-out curve's movement (0.354 -> 0.596) is single-sample
+    # sampler noise vs real drift?  (r3b saved only the final EMA params,
+    # so the band is sized at the end point; the r4 run gates every
+    # checkpoint with n_seeds=4 so the full curve carries its own band.)
+    from styletts_zs_tpu.pipelines.eval import evaluate_diffusion
+    report["q4_stage2_gate_noise_band"] = evaluate_diffusion(
+        cfg, p_ac, teacher, batch, jax.random.PRNGKey(7), n_seeds=4)
+    print(json.dumps({"q4": report["q4_stage2_gate_noise_band"]}), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

@@ -33,16 +33,21 @@ def _flops(lowered_compiled) -> float:
 
 
 def measure_stage(stage: int, *, batch: int, n_frames: int,
-                  k_lo: int = 2, k_hi: int = 8):
+                  k_lo: int = 2, k_hi: int = 8, tiny: bool = False):
     from styletts_zs_tpu.pipelines import train as T
     from styletts_zs_tpu.pipelines.data import SyntheticDataset
     from styletts_zs_tpu.pipelines.factory import init_params
     from styletts_zs_tpu.utils.config import (Config, ModelConfig,
-                                              RuntimeConfig)
+                                              RuntimeConfig,
+                                              tiny_test_config)
 
-    cfg = Config(model=ModelConfig(max_text_len=256, max_frames=n_frames),
-                 runtime=RuntimeConfig(compute_dtype="bfloat16",
-                                       use_pallas=True))
+    if tiny:  # CPU smoke of the probe machinery itself
+        cfg = tiny_test_config()
+        n_frames = min(n_frames, cfg.model.max_frames)
+    else:
+        cfg = Config(model=ModelConfig(max_text_len=256, max_frames=n_frames),
+                     runtime=RuntimeConfig(compute_dtype="bfloat16",
+                                           use_pallas=True))
     params = init_params(cfg, jax.random.PRNGKey(0), with_discriminator=True)
     ds = SyntheticDataset(cfg.model, batch_size=batch, seed=0,
                           n_frames=n_frames)
@@ -53,14 +58,15 @@ def measure_stage(stage: int, *, batch: int, n_frames: int,
         tr = T.Stage1Trainer(cfg)
         state = tr.init_state(params)
         step = lambda s, i: tr.train_step(s, batch_dev, jax.random.PRNGKey(i))
-        low = tr.train_step.lower(state, batch_dev, jax.random.PRNGKey(0))
+        # .lower on the jit wrapper does not bind self (static arg)
+        low = tr.train_step.lower(tr, state, batch_dev, jax.random.PRNGKey(0))
         fetch = lambda m: float(m["total_g"])
     elif stage == 2:
         tr = T.Stage2Trainer(cfg)
         state = tr.init_state(params["diffusion"])
         step = lambda s, i: tr.train_step(s, acoustic, batch_dev,
                                           jax.random.PRNGKey(i))
-        low = tr.train_step.lower(state, acoustic, batch_dev,
+        low = tr.train_step.lower(tr, state, acoustic, batch_dev,
                                   jax.random.PRNGKey(0))
         fetch = lambda m: float(m["diff"])
     else:
@@ -69,8 +75,8 @@ def measure_stage(stage: int, *, batch: int, n_frames: int,
         state = tr.init_state(teacher)
         step = lambda s, i: tr.train_step(s, teacher, acoustic, batch_dev,
                                           jax.random.PRNGKey(i))
-        low = tr.train_step.lower(state, teacher, acoustic, batch_dev,
-                                  jax.random.PRNGKey(0))
+        low = tr.train_step.lower(tr, state, teacher, acoustic,
+                                  batch_dev, jax.random.PRNGKey(0))
         fetch = lambda m: float(m["total_distill"])
 
     flops = _flops(low.compile())
@@ -100,11 +106,14 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--stages", type=int, nargs="*", default=[1, 2, 3])
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke of the probe itself (tiny config)")
     args = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
     for s in args.stages:
         print(json.dumps(measure_stage(s, batch=args.batch,
-                                       n_frames=args.frames)), flush=True)
+                                       n_frames=args.frames,
+                                       tiny=args.tiny)), flush=True)
 
 
 if __name__ == "__main__":

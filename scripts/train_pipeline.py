@@ -36,6 +36,19 @@ def main():
     ap.add_argument("--skip-stage1", default=None, metavar="CKPT_DIR",
                     help="resume: load stage-1 EMA params from this "
                          "save_params dir instead of training stage 1")
+    ap.add_argument("--skip-stage2", default=None, metavar="CKPT_DIR",
+                    help="resume: load the stage-2 teacher EMA params from "
+                         "this save_params dir instead of training stage 2 "
+                         "(requires --skip-stage1)")
+    ap.add_argument("--resume-stage1", default=None, metavar="STATE_DIR",
+                    help="restart wrapper (VERDICT r3 item 2): restore the "
+                         "FULL stage-1 TrainState (params+opts+ema+step, "
+                         "saved to workdir/stage1_state at every gate) and "
+                         "continue training from its step — lets total "
+                         "stage-1 steps exceed the ~13k-step host-RSS-leak "
+                         "ceiling by re-running in a fresh process")
+    ap.add_argument("--resume-stage2", default=None, metavar="STATE_DIR",
+                    help="same for stage 2 (workdir/stage2_state)")
     args = ap.parse_args()
 
     from styletts_zs_tpu.pipelines import train as T
@@ -55,6 +68,18 @@ def main():
     if args.batch:
         cfg = replace(cfg, train=replace(cfg.train, batch_size=args.batch))
     n_frames = min(cfg.model.max_frames, 128 if args.tiny else 256)
+
+    def stage_cfg(n_steps: int):
+        """Sync the LR schedule to the ACTUAL stage length.
+
+        r3 trained with TrainConfig.n_steps=100000 while running 9000/5400
+        steps — the cosine decay was ~2% through, i.e. effectively constant
+        peak LR for the whole run (VERDICT r3 weak item 1/item 2).  Warmup
+        is clamped so short stages still decay."""
+        t = cfg.train
+        return replace(cfg, train=replace(
+            t, n_steps=n_steps,
+            warmup_steps=min(t.warmup_steps, max(n_steps // 10, 1))))
 
     params = init_params(cfg, jax.random.PRNGKey(cfg.train.seed),
                          with_discriminator=True)
@@ -90,10 +115,18 @@ def main():
         print(json.dumps({"stage": stage, "step": step, **m}), flush=True)
 
     report_path = f"{args.workdir}/quality_report.json"
+    # restart wrapper: a resumed process extends the prior report's curves
+    # instead of starting a fresh one
+    import os
+    if (args.resume_stage1 or args.resume_stage2 or args.skip_stage1) \
+            and os.path.exists(report_path):
+        with open(report_path) as f:
+            prior = json.load(f)
+        for k, v in prior.items():
+            quality.setdefault(k, v)
 
     def write_report():
         # incremental: a wall-clock timeout still leaves the curves on disk
-        import os
         os.makedirs(args.workdir, exist_ok=True)
         with open(report_path, "w") as f:
             json.dump(quality, f, indent=1)
@@ -125,17 +158,23 @@ def main():
 
     # ---- stage 1: adversarial acoustic autoencoder --------------------
     t0 = time.time()
+    from styletts_zs_tpu.pipelines.checkpoint import load_params
     if args.skip_stage1:
-        from styletts_zs_tpu.pipelines.checkpoint import load_params
         like = init_params(cfg, jax.random.PRNGKey(0))
         acoustic_final = load_params(args.skip_stage1,
                                      like={"acoustic": like["acoustic"],
                                            "vocoder": like["vocoder"]})
         print(f"stage 1 skipped; params from {args.skip_stage1}", flush=True)
     else:
-        tr1 = T.Stage1Trainer(cfg)
+        tr1 = T.Stage1Trainer(stage_cfg(args.steps1))
         s1 = tr1.init_state(params)
-        for step in range(args.steps1):
+        start1 = 0
+        if args.resume_stage1:
+            s1 = load_params(args.resume_stage1, like=s1)
+            start1 = int(s1.step)
+            print(f"stage 1 resumed at step {start1} "
+                  f"from {args.resume_stage1}", flush=True)
+        for step in range(start1, args.steps1):
             batch = T.batch_to_device(next_batch())
             rng, sub = jax.random.split(rng)
             s1, metrics = tr1.train_step(s1, batch, sub)
@@ -146,11 +185,24 @@ def main():
                 gate("stage1", step, lambda: E.evaluate_acoustic(
                     cfg, s1.ema_params, eval_batch))
                 save_params(f"{args.workdir}/stage1", s1.ema_params)
+                save_params(f"{args.workdir}/stage1_state", s1)
         acoustic_final = s1.ema_params
         save_params(f"{args.workdir}/stage1", acoustic_final)
     quality["stage1"] = gate(
         "stage1", args.steps1,
         lambda: E.evaluate_acoustic(cfg, acoustic_final, eval_batch))
+    # embedding-side gate (VERDICT r3 item 1 'Done' criterion): on GROUND
+    # TRUTH audio the contrastively-trained prompt encoder must retrieve
+    # the right speaker (target >= 0.9, margin >> 0; r3: 0.31 / -0.004)
+    import jax.numpy as jnp
+    Lgt = min(eval_batch.wav.shape[1], eval_batch.ref_wav.shape[1])
+    quality["stage1_gt_margin"] = {
+        k: round(float(v), 4) for k, v in E.speaker_similarity_margin(
+            cfg, acoustic_final["acoustic"],
+            jnp.asarray(eval_batch.wav[:, :Lgt]),
+            jnp.asarray(eval_batch.ref_wav[:, :Lgt])).items()}
+    print(json.dumps({"stage1_gt_margin": quality["stage1_gt_margin"]}),
+          flush=True)
     quality["fsq_usage"] = E.fsq_usage_stats(
         cfg, acoustic_final["acoustic"], eval_batch)
     print(json.dumps({"fsq_usage": quality["fsq_usage"]}), flush=True)
@@ -160,33 +212,57 @@ def main():
 
     # ---- stage 2: style latent diffusion ------------------------------
     t0 = time.time()
-    tr2 = T.Stage2Trainer(cfg)
-    s2 = tr2.init_state(params["diffusion"])
-    for step in range(args.steps2):
-        batch = T.batch_to_device(next_batch())
-        rng, sub = jax.random.split(rng)
-        s2, metrics = tr2.train_step(s2, acoustic_final["acoustic"], batch,
-                                     sub)
-        housekeeping("2", step, metrics)
-        if step % args.eval_every == 0:
-            log("2", step, metrics)
-        if args.gate_every and step and step % args.gate_every == 0:
+    if args.skip_stage2:
+        like = init_params(cfg, jax.random.PRNGKey(0))
+        teacher = load_params(args.skip_stage2, like=like["diffusion"])
+        print(f"stage 2 skipped; teacher from {args.skip_stage2}", flush=True)
+    else:
+        tr2 = T.Stage2Trainer(stage_cfg(args.steps2))
+        s2 = tr2.init_state(params["diffusion"])
+        start2 = 0
+        if args.resume_stage2:
+            s2 = load_params(args.resume_stage2, like=s2)
+            start2 = int(s2["step"])
+            print(f"stage 2 resumed at step {start2} "
+                  f"from {args.resume_stage2}", flush=True)
+
+        def gate2(step):
+            """EMA gate with a 4-seed noise band, plus the raw (non-EMA)
+            params single-seed — separates sampler noise / EMA lag / real
+            drift in the held-out curve (VERDICT r3 item 3)."""
+            nonlocal rng
+            rng, g_sub, r_sub = jax.random.split(rng, 3)
+            res = E.evaluate_diffusion(cfg, acoustic_final["acoustic"],
+                                       s2["ema"], eval_batch, g_sub,
+                                       n_seeds=4)
+            res["raw_style_latent_mse"] = E.evaluate_diffusion(
+                cfg, acoustic_final["acoustic"], s2["params"], eval_batch,
+                r_sub)["style_latent_mse_vs_gt"]
+            return res
+
+        for step in range(start2, args.steps2):
+            batch = T.batch_to_device(next_batch())
             rng, sub = jax.random.split(rng)
-            gate("stage2", step, lambda: E.evaluate_diffusion(
-                cfg, acoustic_final["acoustic"], s2["ema"], eval_batch, sub))
-            save_params(f"{args.workdir}/stage2", s2["ema"])
-    teacher = s2["ema"]
-    save_params(f"{args.workdir}/stage2", teacher)
-    rng, sub = jax.random.split(rng)
-    quality["stage2"] = gate("stage2", args.steps2, lambda: E.evaluate_diffusion(
-        cfg, acoustic_final["acoustic"], teacher, eval_batch, sub))
+            s2, metrics = tr2.train_step(s2, acoustic_final["acoustic"],
+                                         batch, sub)
+            housekeeping("2", step, metrics)
+            if step % args.eval_every == 0:
+                log("2", step, metrics)
+            if args.gate_every and step and step % args.gate_every == 0:
+                gate("stage2", step, lambda: gate2(step))
+                save_params(f"{args.workdir}/stage2", s2["ema"])
+                save_params(f"{args.workdir}/stage2_state", s2)
+        teacher = s2["ema"]
+        save_params(f"{args.workdir}/stage2", teacher)
+        quality["stage2"] = gate("stage2", args.steps2,
+                                 lambda: gate2(args.steps2))
     quality["stage2_wall_s"] = round(time.time() - t0, 1)
     write_report()
     print(f"stage 2 done in {time.time()-t0:.0f}s", flush=True)
 
     # ---- stage 3: 1-step distillation (A7: ~10k samples) --------------
     t0 = time.time()
-    tr3 = T.Stage3Trainer(cfg)
+    tr3 = T.Stage3Trainer(stage_cfg(args.steps3))
     s3 = tr3.init_state(teacher)
     n3 = min(args.steps3, cfg.train.distill_samples // cfg.train.batch_size)
     for step in range(n3):

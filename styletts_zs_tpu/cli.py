@@ -174,7 +174,7 @@ def cmd_accept(args):
     else:
         report = run_acceptance(args.level, full_size=args.full or None,
                                 n_requests=args.requests,
-                                use_mesh=args.mesh)
+                                use_mesh=args.mesh, bundle=args.bundle)
     print(json.dumps(report, indent=2))
 
 
@@ -223,6 +223,9 @@ def main():
                     help="level 5: request count (contract scale 4096)")
     pa.add_argument("--mesh", action="store_true",
                     help="level 5: data-parallel dispatch over all devices")
+    pa.add_argument("--bundle", default=None,
+                    help="level 5: trained bundle dir (train_pipeline "
+                         "workdir/final) so served frames are real")
     pa.set_defaults(fn=cmd_accept)
 
     pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")

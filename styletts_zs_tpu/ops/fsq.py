@@ -67,3 +67,47 @@ def indices_to_codes(indices: jax.Array, levels: tuple[int, ...]) -> jax.Array:
 
 def codebook_size(levels: tuple[int, ...]) -> int:
     return int(np.prod(levels))
+
+
+def soft_digit_probs(z: jax.Array, levels: tuple[int, ...],
+                     tau: float = 1.0):
+    """Differentiable per-dim level-assignment probabilities.
+
+    z: (..., d) pre-quantizer activations.  Returns (probs (..., d, Lmax),
+    level_mask (d, Lmax)) where probs is a softmax over squared distance of
+    the continuous digit to each integer level (invalid levels masked).
+    Basis for the usage-entropy regularizer below.
+    """
+    _, _, _, lv = _bound_params(levels)
+    digit_c = bound(z, levels) + lv // 2            # (..., d) in [0, L-1]
+    l_max = max(levels)
+    ks = jnp.arange(l_max, dtype=jnp.float32)
+    d2 = (digit_c[..., None] - ks) ** 2             # (..., d, Lmax)
+    level_mask = ks[None, :] < lv[:, None]          # (d, Lmax)
+    logits = jnp.where(level_mask, -d2 / tau, -1e9)
+    return jax.nn.softmax(logits, axis=-1), level_mask
+
+
+def entropy_losses(z: jax.Array, levels: tuple[int, ...],
+                   tau: float = 1.0) -> tuple[jax.Array, jax.Array]:
+    """(sample_entropy, codebook_entropy) per-dim means, in nats.
+
+    Codebook-usage regularizer (VERDICT r3 item 6: dim perplexity 1.0/5 —
+    a dead dim — because nothing in the stage-1 objective rewards spreading
+    mass across the lattice; the post-FSQ ``up`` projection can compensate
+    for any collapse).  Minimize ``sample_entropy - codebook_entropy``:
+    confident per-sample assignments whose batch marginal is uniform.
+    Standard entropy-bonus shape used with learned discrete bottlenecks —
+    here computed purely elementwise, XLA-fusable, no codebook state.
+    """
+    p, level_mask = soft_digit_probs(z, levels, tau)
+    p32 = p.astype(jnp.float32)
+    eps = 1e-9
+    flat = p32.reshape(-1, *p32.shape[-2:])          # (N, d, Lmax)
+    sample_ent = -jnp.sum(flat * jnp.log(flat + eps), axis=-1)   # (N, d)
+    sample_ent = jnp.mean(sample_ent)
+    marginal = jnp.mean(flat, axis=0)                # (d, Lmax)
+    code_ent = -jnp.sum(
+        jnp.where(level_mask, marginal * jnp.log(marginal + eps), 0.0),
+        axis=-1)                                     # (d,)
+    return sample_ent, jnp.mean(code_ent)

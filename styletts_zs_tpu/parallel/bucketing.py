@@ -85,6 +85,8 @@ def style_cluster_ids(styles: np.ndarray, n_bits: int = 8) -> np.ndarray:
     hash good enough to spread same-speaker requests apart; every host
     computes the identical ids from the identical replicated table.
     """
+    if styles.shape[0] == 0:   # empty request list (ADVICE r3)
+        return np.zeros((0,), np.int64)
     styles = np.asarray(styles, np.float32).reshape(styles.shape[0], -1)
     n_bits = min(n_bits, styles.shape[1])
     centered = styles[:, :n_bits] - np.median(styles[:, :n_bits], axis=0)
@@ -92,15 +94,17 @@ def style_cluster_ids(styles: np.ndarray, n_bits: int = 8) -> np.ndarray:
     return (bits * (1 << np.arange(n_bits))).sum(axis=1)
 
 
-def mixed_speaker_order(idxs: np.ndarray, cluster_ids: np.ndarray,
-                        batch_size: int) -> np.ndarray:
-    """Order one bucket's request indices so consecutive ``batch_size``
-    slices are mixed-speaker (``BASELINE.json:11`` "mixed-speaker batch").
+def mixed_speaker_order(idxs: np.ndarray,
+                        cluster_ids: np.ndarray) -> np.ndarray:
+    """Order one bucket's request indices so consecutive batch slices are
+    mixed-speaker (``BASELINE.json:11`` "mixed-speaker batch").
 
     Round-robins across style clusters: stable-sorts each cluster's members,
-    then interleaves cluster queues.  Deterministic given (idxs, cluster_ids)
-    — both derived from replicated collective outputs, so every host
-    produces the identical dispatch order.
+    then interleaves cluster queues — any consecutive slice draws from as
+    many distinct clusters as remain non-empty, independent of the caller's
+    batch size (hence no batch_size parameter; ADVICE r3).  Deterministic
+    given (idxs, cluster_ids) — both derived from replicated collective
+    outputs, so every host produces the identical dispatch order.
     """
     idxs = np.asarray(idxs)
     cids = np.asarray(cluster_ids)[idxs]

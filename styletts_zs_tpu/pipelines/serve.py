@@ -157,8 +157,7 @@ class Server:
         results: list[Result] = []
 
         for bucket, idxs in buckets_map.items():
-            idxs = bucketing.mixed_speaker_order(idxs, cluster_ids,
-                                                 s.batch_size)
+            idxs = bucketing.mixed_speaker_order(idxs, cluster_ids)
             B = s.batch_size
             for start in range(0, len(idxs), B):
                 group = [requests[i] for i in idxs[start: start + B]]

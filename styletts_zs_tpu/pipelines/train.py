@@ -26,6 +26,7 @@ from styletts_zs_tpu.models.discriminators import (discriminator_loss,
                                                    feature_matching_loss,
                                                    generator_adv_loss)
 from styletts_zs_tpu.ops import align as align_ops
+from styletts_zs_tpu.ops import fsq as fsq_ops
 from styletts_zs_tpu.ops import stft as stft_ops
 from styletts_zs_tpu.ops.attention import length_mask
 from styletts_zs_tpu.pipelines.factory import build_models
@@ -65,6 +66,11 @@ def _masked_l1_feat(a, b, mask):
     m = mask.astype(jnp.float32)[..., None]
     diff = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)) * m
     return jnp.sum(diff) / jnp.maximum(jnp.sum(m) * a.shape[-1], 1.0)
+
+
+def _l2normalize(e):
+    e = e.astype(jnp.float32)
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +166,45 @@ class Stage1Trainer:
                 log_probs, batch["text_lengths"], batch["frame_lengths"])
             loss = loss + t.w_align * loss_align
             aux["align"] = loss_align
+
+        m = self.cfg.model
+        if t.w_spk > 0:
+            # Speaker-contrastive InfoNCE on the prompt-encoder summary —
+            # the prompt encoder's ONLY gradient in the whole pipeline (see
+            # TrainConfig.w_spk).  Positive pair: this utterance's mel vs
+            # its same-speaker reference mel; negatives: the rest of the
+            # batch (each batch item is a distinct synthetic speaker).
+            # Directly optimizes what pipelines/eval.speaker_similarity_margin
+            # measures (obligation: /root/reference/README.md:5 A1/A6).
+            ref_mel = stft_ops.mel_spectrogram(batch["ref_wav"], m.audio)
+            _, e_ref = self.acoustic.apply(g_params["acoustic"], ref_mel,
+                                           method=StyleTTSZS.encode_prompt)
+            _, e_utt = self.acoustic.apply(g_params["acoustic"], mel_gt,
+                                           frame_mask,
+                                           method=StyleTTSZS.encode_prompt)
+            za, zb = _l2normalize(e_utt), _l2normalize(e_ref)
+            logits = (za @ zb.T) / t.spk_tau
+            labels = jnp.arange(za.shape[0])
+            ce = optax.softmax_cross_entropy_with_integer_labels
+            loss_spk = 0.5 * (ce(logits, labels).mean()
+                              + ce(logits.T, labels).mean())
+            loss = loss + t.w_spk * loss_spk
+            aux["spk_nce"] = loss_spk
+            aux["spk_acc"] = jnp.mean(
+                (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32))
+        if t.w_fsq_entropy > 0:
+            # FSQ usage-entropy bonus on the pre-quantizer projection (see
+            # TrainConfig.w_fsq_entropy; ops/fsq.entropy_losses docstring).
+            # Recomputes extractor+down on the same (params, mel) as
+            # reconstruct() above — XLA CSE dedupes the duplicate subgraph.
+            def _style_z(mdl, mel, fmask):
+                return mdl.quantizer.down(mdl.style_extractor(mel, mask=fmask))
+            z = self.acoustic.apply(g_params["acoustic"], mel_gt, frame_mask,
+                                    method=_style_z)
+            ent_s, ent_c = fsq_ops.entropy_losses(z, m.style.fsq_levels)
+            loss = loss + t.w_fsq_entropy * (ent_s - ent_c)
+            aux["fsq_sample_ent"] = ent_s
+            aux["fsq_code_ent"] = ent_c
         aux["total_g"] = loss
         return loss, aux
 

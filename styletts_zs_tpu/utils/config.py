@@ -199,6 +199,18 @@ class TrainConfig:
     w_energy: float = 0.5
     w_commit: float = 0.25   # reserved: FSQ needs no commitment loss
     w_align: float = 1.0     # forward-sum aligner objective (0 disables)
+    # speaker-contrastive prompt-embedding loss (stage 1).  Without it the
+    # prompt encoder receives NO gradient anywhere in the 3-stage pipeline
+    # (stage 1's reconstruction path never calls encode_prompt; stages 2-3
+    # freeze the acoustic params) and stays at random init — the root cause
+    # of r3's collapsed speaker embedding (all pairwise cosines ~0.99,
+    # sim_margin -0.024, retrieval at chance; VERDICT r3 missing items 1/3).
+    # In-batch InfoNCE over (utterance mel, same-speaker reference mel)
+    # pairs: synthetic speaker identity is free supervision.
+    w_spk: float = 1.0
+    spk_tau: float = 0.1     # InfoNCE temperature
+    # FSQ codebook-usage entropy bonus (VERDICT r3 item 6: dead lattice dim)
+    w_fsq_entropy: float = 0.25
     use_mas_durations: bool = False  # MAS durations replace dataset's
     # stage 3 distillation
     w_latent: float = 1.0

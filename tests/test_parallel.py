@@ -197,15 +197,17 @@ def test_mixed_speaker_order():
     idxs = np.arange(12, dtype=np.int32)
     # 3 clusters of 4 members each (cluster id = idx % 3 pattern)
     cluster_ids = np.asarray([0, 1, 2] * 4 + [99] * 4)  # extra ids unused
-    order = bucketing.mixed_speaker_order(idxs, cluster_ids[:16], 3)
+    order = bucketing.mixed_speaker_order(idxs, cluster_ids[:16])
     assert sorted(order.tolist()) == idxs.tolist()
     # each batch of 3 holds 3 distinct clusters (round-robin)
     for s in range(0, 12, 3):
         batch = order[s: s + 3]
         assert len({int(cluster_ids[i]) for i in batch}) == 3
     # deterministic
-    order2 = bucketing.mixed_speaker_order(idxs, cluster_ids[:16], 3)
+    order2 = bucketing.mixed_speaker_order(idxs, cluster_ids[:16])
     np.testing.assert_array_equal(order, order2)
+    # empty style table: no requests -> no ids, no crash (ADVICE r3)
+    assert bucketing.style_cluster_ids(np.zeros((0, 16))).shape == (0,)
 
 
 def test_style_cluster_ids_separate_speakers():

@@ -57,6 +57,29 @@ def test_stage3_distill_step(setup):
         assert np.isfinite(float(aux[k]))
 
 
+def test_stage1_speaker_contrastive_trains_prompt_encoder(setup):
+    """VERDICT r3 items 1/3: the InfoNCE loss is the prompt encoder's ONLY
+    gradient in the pipeline — it must appear in the metrics, be finite,
+    and actually move the prompt-encoder params (they were frozen at init
+    in r1-r3, the root cause of the collapsed speaker embedding)."""
+    cfg, params, batch = setup
+    tr = T.Stage1Trainer(cfg)
+    state = tr.init_state(params)
+    pe0 = jax.tree.map(np.array, state.g_params["acoustic"]["params"]
+                       ["prompt_encoder"])
+    nce = []
+    for i in range(6):
+        state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(i))
+        for k in ("spk_nce", "spk_acc", "fsq_sample_ent", "fsq_code_ent"):
+            assert k in metrics and np.isfinite(float(metrics[k])), k
+        nce.append(float(metrics["spk_nce"]))
+    pe1 = state.g_params["acoustic"]["params"]["prompt_encoder"]
+    moved = jax.tree.map(lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+                         pe0, pe1)
+    assert max(jax.tree.leaves(moved)) > 0, "prompt encoder still frozen"
+    assert nce[-1] < nce[0] + 1e-3, f"InfoNCE did not move down: {nce}"
+
+
 def test_stage1_step_no_nans_with_debug_nans(setup):
     """SURVEY.md §5.2: jax_debug_nans smoke — a step raises on any NaN."""
     cfg, params, batch = setup
