@@ -1,0 +1,33 @@
+#!/bin/bash
+# r4 full-size 3-stage training with checkpoint-restart around the host RSS
+# leak (VERDICT r3 item 2): the remote runtime client leaks ~9.6 MB/step, so
+# any single process dies near ~13k steps; each segment resumes from the
+# FULL TrainState saved at every gate (train_pipeline --resume-stage*).
+set -u
+cd /root/repo
+W=runs/r4
+mkdir -p "$W"
+
+# segment 1: stage 1 only (12k steps; restart on OOM, up to 3 attempts)
+for i in 1 2 3; do
+  python scripts/train_pipeline.py --steps1 12000 --steps2 0 --steps3 0 \
+    --gate-every 1000 --eval-every 100 --workdir "$W" --stop-after 1 \
+    $([ -d "$W/stage1_state" ] && echo "--resume-stage1 $W/stage1_state") \
+    >> runs/r4_train_s1.log 2>&1
+  rc=$?
+  echo "segment1 attempt $i exit $rc" >> runs/r4_train_s1.log
+  [ $rc -eq 0 ] && break
+done
+
+# segment 2: stages 2 + 3 from the stage-1 checkpoint (fresh process)
+for i in 1 2 3; do
+  python scripts/train_pipeline.py --steps1 12000 --steps2 6000 --steps3 700 \
+    --gate-every 1000 --eval-every 100 --workdir "$W" \
+    --skip-stage1 "$W/stage1" \
+    $([ -d "$W/stage2_state" ] && echo "--resume-stage2 $W/stage2_state") \
+    >> runs/r4_train_s23.log 2>&1
+  rc=$?
+  echo "segment2 attempt $i exit $rc" >> runs/r4_train_s23.log
+  [ $rc -eq 0 ] && break
+done
+echo "run_r4_train done rc=$rc"

@@ -49,6 +49,9 @@ def main():
                          "ceiling by re-running in a fresh process")
     ap.add_argument("--resume-stage2", default=None, metavar="STATE_DIR",
                     help="same for stage 2 (workdir/stage2_state)")
+    ap.add_argument("--stop-after", type=int, default=0, choices=(0, 1, 2),
+                    help="exit after this stage's boundary gate (restart "
+                         "wrapper segments; 0 = run all three)")
     args = ap.parse_args()
 
     from styletts_zs_tpu.pipelines import train as T
@@ -209,6 +212,9 @@ def main():
     quality["stage1_wall_s"] = round(time.time() - t0, 1)
     write_report()
     print(f"stage 1 done in {time.time()-t0:.0f}s", flush=True)
+    if args.stop_after == 1:
+        print("stopping after stage 1 (--stop-after 1)", flush=True)
+        return
 
     # ---- stage 2: style latent diffusion ------------------------------
     t0 = time.time()
@@ -259,6 +265,9 @@ def main():
     quality["stage2_wall_s"] = round(time.time() - t0, 1)
     write_report()
     print(f"stage 2 done in {time.time()-t0:.0f}s", flush=True)
+    if args.stop_after == 2:
+        print("stopping after stage 2 (--stop-after 2)", flush=True)
+        return
 
     # ---- stage 3: 1-step distillation (A7: ~10k samples) --------------
     t0 = time.time()
