@@ -8,9 +8,9 @@ cd /root/repo
 W=runs/r4
 mkdir -p "$W"
 
-# segment 1: stage 1 only (12k steps; restart on OOM, up to 3 attempts)
+# segment 1: stage 1 only (10k steps; restart on OOM, up to 3 attempts)
 for i in 1 2 3; do
-  python scripts/train_pipeline.py --steps1 12000 --steps2 0 --steps3 0 \
+  python scripts/train_pipeline.py --steps1 10000 --steps2 0 --steps3 0 \
     --gate-every 1000 --eval-every 100 --workdir "$W" --stop-after 1 \
     $([ -d "$W/stage1_state" ] && echo "--resume-stage1 $W/stage1_state") \
     >> runs/r4_train_s1.log 2>&1
@@ -21,7 +21,7 @@ done
 
 # segment 2: stages 2 + 3 from the stage-1 checkpoint (fresh process)
 for i in 1 2 3; do
-  python scripts/train_pipeline.py --steps1 12000 --steps2 6000 --steps3 700 \
+  python scripts/train_pipeline.py --steps1 10000 --steps2 4000 --steps3 625 \
     --gate-every 1000 --eval-every 100 --workdir "$W" \
     --skip-stage1 "$W/stage1" \
     $([ -d "$W/stage2_state" ] && echo "--resume-stage2 $W/stage2_state") \
