@@ -183,15 +183,40 @@ class Stage1Trainer:
                                            frame_mask,
                                            method=StyleTTSZS.encode_prompt)
             za, zb = _l2normalize(e_utt), _l2normalize(e_ref)
-            logits = (za @ zb.T) / t.spk_tau
             labels = jnp.arange(za.shape[0])
             ce = optax.softmax_cross_entropy_with_integer_labels
-            loss_spk = 0.5 * (ce(logits, labels).mean()
-                              + ce(logits.T, labels).mean())
+
+            def nce(x, y):
+                lg = (x @ y.T) / t.spk_tau
+                return 0.5 * (ce(lg, labels).mean() + ce(lg.T, labels).mean())
+
+            logits = (za @ zb.T) / t.spk_tau
+            loss_spk = nce(za, zb)
             loss = loss + t.w_spk * loss_spk
             aux["spk_nce"] = loss_spk
             aux["spk_acc"] = jnp.mean(
                 (jnp.argmax(logits, axis=1) == labels).astype(jnp.float32))
+            # Speaker cycle-consistency views (TrainConfig.w_spk_rec/_voc):
+            # the SYNTHESIZED signal must embed next to its speaker's
+            # reference too — gradients flow through the decoder (rec view)
+            # and the vocoder (voc view), directly optimizing the pathway
+            # pipelines/eval.speaker_similarity_margin measures.
+            if t.w_spk_rec > 0:
+                _, e_rec = self.acoustic.apply(
+                    g_params["acoustic"], out.mel, frame_mask,
+                    method=StyleTTSZS.encode_prompt)
+                loss_rec = nce(_l2normalize(e_rec), zb)
+                loss = loss + t.w_spk_rec * loss_rec
+                aux["spk_nce_rec"] = loss_rec
+            if t.w_spk_voc > 0:
+                mel_voc = stft_ops.mel_spectrogram(wav_fake, m.audio)
+                Tv = min(mel_voc.shape[1], frame_mask.shape[1])
+                _, e_voc = self.acoustic.apply(
+                    g_params["acoustic"], mel_voc[:, :Tv],
+                    frame_mask[:, :Tv], method=StyleTTSZS.encode_prompt)
+                loss_voc = nce(_l2normalize(e_voc), zb)
+                loss = loss + t.w_spk_voc * loss_voc
+                aux["spk_nce_voc"] = loss_voc
         if t.w_fsq_entropy > 0:
             # FSQ usage-entropy bonus on the pre-quantizer projection (see
             # TrainConfig.w_fsq_entropy; ops/fsq.entropy_losses docstring).

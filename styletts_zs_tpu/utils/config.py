@@ -209,6 +209,19 @@ class TrainConfig:
     # pairs: synthetic speaker identity is free supervision.
     w_spk: float = 1.0
     spk_tau: float = 0.1     # InfoNCE temperature
+    # Speaker CYCLE-consistency (r4 diagnosis, docs/artifacts/
+    # prompt_influence_r4.json): with w_spk alone the embedding is perfect
+    # on REAL audio (retrieval 1.0) yet reads synthesized mels as
+    # out-of-distribution — even the teacher-forced (ground-truth-style)
+    # decode retrieved 0/16 speakers.  These weights add the RECONSTRUCTED
+    # mel and the VOCODED waveform's mel as extra positive views of the
+    # same speaker in the InfoNCE, with gradients flowing through the
+    # decoder/vocoder: the embedding learns the synthesis distribution and
+    # the synthesis path is explicitly trained to preserve the identity
+    # cues the embedding uses (the exact pathway the zero-shot similarity
+    # metric measures; obligation /root/reference/README.md:5 A1/A6).
+    w_spk_rec: float = 1.0   # reconstructed-mel view (through decoder)
+    w_spk_voc: float = 1.0   # vocoded-wav-mel view (through vocoder too)
     # FSQ codebook-usage entropy bonus (VERDICT r3 item 6: dead lattice dim)
     w_fsq_entropy: float = 0.25
     use_mas_durations: bool = False  # MAS durations replace dataset's

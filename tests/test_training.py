@@ -80,6 +80,37 @@ def test_stage1_speaker_contrastive_trains_prompt_encoder(setup):
     assert nce[-1] < nce[0] + 1e-3, f"InfoNCE did not move down: {nce}"
 
 
+def test_stage1_speaker_cycle_consistency_views(setup):
+    """r4 diagnosis (docs/artifacts/prompt_influence_r4.json): the embedding
+    retrieved real audio perfectly but read SYNTHESIZED mels as
+    out-of-distribution (teacher-forced decode: 0/16 retrieval).  The
+    cycle-consistency views must (a) appear in the metrics and (b) put
+    gradient on the DECODER through the reconstructed-mel view — i.e. the
+    synthesis path is trained to preserve speaker identity (A1/A6)."""
+    import jax.numpy as jnp
+    cfg, params, batch = setup
+    tr = T.Stage1Trainer(cfg)
+    state = tr.init_state(params)
+    state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(3))
+    for k in ("spk_nce_rec", "spk_nce_voc"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # gradient flow: the rec/voc views must contribute decoder gradients.
+    # Compare g_loss grads with and without the views on the same inputs.
+    from styletts_zs_tpu.utils.config import replace
+    g, _ = jax.grad(tr.g_loss, has_aux=True)(
+        state.g_params, state.d_params, batch, jax.random.PRNGKey(4))
+    tr_off = T.Stage1Trainer(replace(cfg, train=replace(
+        cfg.train, w_spk_rec=0.0, w_spk_voc=0.0)))
+    g_off, _ = jax.grad(tr_off.g_loss, has_aux=True)(
+        state.g_params, state.d_params, batch, jax.random.PRNGKey(4))
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        g["acoustic"]["params"]["decoder"],
+        g_off["acoustic"]["params"]["decoder"])
+    assert max(jax.tree.leaves(diff)) > 0, \
+        "cycle-consistency views add no decoder gradient"
+
+
 def test_stage1_step_no_nans_with_debug_nans(setup):
     """SURVEY.md §5.2: jax_debug_nans smoke — a step raises on any NaN."""
     cfg, params, batch = setup
