@@ -188,10 +188,10 @@ class Stage1Trainer:
 
             def nce(x, y):
                 lg = (x @ y.T) / t.spk_tau
-                return 0.5 * (ce(lg, labels).mean() + ce(lg.T, labels).mean())
+                return (0.5 * (ce(lg, labels).mean()
+                               + ce(lg.T, labels).mean()), lg)
 
-            logits = (za @ zb.T) / t.spk_tau
-            loss_spk = nce(za, zb)
+            loss_spk, logits = nce(za, zb)
             loss = loss + t.w_spk * loss_spk
             aux["spk_nce"] = loss_spk
             aux["spk_acc"] = jnp.mean(
@@ -201,11 +201,18 @@ class Stage1Trainer:
             # reference too — gradients flow through the decoder (rec view)
             # and the vocoder (voc view), directly optimizing the pathway
             # pipelines/eval.speaker_similarity_margin measures.
+            # The synthesized views anchor against a FROZEN copy of the
+            # real-reference embedding: without the stop_gradient the views
+            # can pull the real-audio embedding toward early-training
+            # garbage mels / decoder artifacts (embedding-decoder
+            # co-adaptation), which would also let the pair game the
+            # similarity metric rather than preserve timbre (ADVICE r4).
+            zb_sg = jax.lax.stop_gradient(zb)
             if t.w_spk_rec > 0:
                 _, e_rec = self.acoustic.apply(
                     g_params["acoustic"], out.mel, frame_mask,
                     method=StyleTTSZS.encode_prompt)
-                loss_rec = nce(_l2normalize(e_rec), zb)
+                loss_rec, _ = nce(_l2normalize(e_rec), zb_sg)
                 loss = loss + t.w_spk_rec * loss_rec
                 aux["spk_nce_rec"] = loss_rec
             if t.w_spk_voc > 0:
@@ -214,7 +221,7 @@ class Stage1Trainer:
                 _, e_voc = self.acoustic.apply(
                     g_params["acoustic"], mel_voc[:, :Tv],
                     frame_mask[:, :Tv], method=StyleTTSZS.encode_prompt)
-                loss_voc = nce(_l2normalize(e_voc), zb)
+                loss_voc, _ = nce(_l2normalize(e_voc), zb_sg)
                 loss = loss + t.w_spk_voc * loss_voc
                 aux["spk_nce_voc"] = loss_voc
         if t.w_fsq_entropy > 0:

@@ -107,8 +107,14 @@ def test_stage1_speaker_cycle_consistency_views(setup):
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         g["acoustic"]["params"]["decoder"],
         g_off["acoustic"]["params"]["decoder"])
-    assert max(jax.tree.leaves(diff)) > 0, \
-        "cycle-consistency views add no decoder gradient"
+    base = jax.tree.map(lambda a: float(jnp.max(jnp.abs(a))),
+                        g_off["acoustic"]["params"]["decoder"])
+    # relative threshold (ADVICE r4): float reassociation noise between the
+    # two structurally-different graphs is ~1e-7 relative; a real view
+    # contribution is O(1) relative to the baseline grad magnitude
+    rel = max(jax.tree.leaves(diff)) / max(max(jax.tree.leaves(base)), 1e-12)
+    assert rel > 1e-3, \
+        f"cycle-consistency views add no meaningful decoder gradient ({rel})"
 
 
 def test_stage1_step_no_nans_with_debug_nans(setup):
