@@ -235,15 +235,26 @@ def main():
         def gate2(step):
             """EMA gate with a 4-seed noise band, plus the raw (non-EMA)
             params single-seed — separates sampler noise / EMA lag / real
-            drift in the held-out curve (VERDICT r3 item 3)."""
+            drift in the held-out curve (VERDICT r3 item 3).  Dispersion is
+            additionally gated at guidance=1.0 (the pure conditional, where
+            the calibrated target is ratio ~ 1 — see evaluate_diffusion
+            docstring); the serving-guidance ratio is reported too but CFG
+            sharpening makes it read below 1 by design."""
             nonlocal rng
-            rng, g_sub, r_sub = jax.random.split(rng, 3)
+            rng, g_sub, r_sub, d_sub = jax.random.split(rng, 4)
             res = E.evaluate_diffusion(cfg, acoustic_final["acoustic"],
                                        s2["ema"], eval_batch, g_sub,
                                        n_seeds=4)
             res["raw_style_latent_mse"] = E.evaluate_diffusion(
                 cfg, acoustic_final["acoustic"], s2["params"], eval_batch,
                 r_sub)["style_latent_mse_vs_gt"]
+            g1 = E.evaluate_diffusion(cfg, acoustic_final["acoustic"],
+                                      s2["ema"], eval_batch, d_sub,
+                                      n_seeds=4, guidance=1.0)
+            res["style_mse_ratio_pairs_over_gt_g1"] = (
+                g1["style_mse_ratio_pairs_over_gt"])
+            res["mel_mae_sampled_vs_gt_style_g1"] = (
+                g1["mel_mae_sampled_vs_gt_style"])
             return res
 
         for step in range(start2, args.steps2):
