@@ -29,7 +29,7 @@ for f in tests/test_*.py; do
     rc=$?
     tail=$(echo "$out" | grep -E "[0-9]+ (passed|failed|error)" | tail -1)
     p=$(echo "$tail" | grep -oE "[0-9]+ passed" | grep -oE "[0-9]+")
-    fl=$(echo "$tail" | grep -oE "[0-9]+ (failed|error)" | grep -oE "[0-9]+" | paste -sd+ | bc)
+    fl=$(echo "$tail" | grep -oE "[0-9]+ (failed|error)" | grep -oE "[0-9]+" | awk '{s+=$1} END {print s+0}')
     total_pass=$((total_pass + ${p:-0}))
     total_fail=$((total_fail + ${fl:-0}))
     if [ $rc -ne 0 ]; then
