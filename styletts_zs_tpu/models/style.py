@@ -81,6 +81,37 @@ class StyleQuantizer(nn.Module):
         """FSQ-grid codes (B, K, d_fsq) -> style vectors (B, K, d_style)."""
         return self.up(codes)
 
+    def project_style(self, style: jax.Array) -> jax.Array:
+        """Nearest-lattice projection of a CONTINUOUS style vector.
+
+        The inference-path quantizer (r5 fix): ``__call__`` maps
+        extractor outputs through ``down``, but ``down ∘ up`` is never
+        trained to be the identity, so re-quantizing a point on (or near)
+        the lattice's up-image — exactly what a diffusion sample is —
+        lands on unrelated codes and scrambles the style (measured on the
+        r5 bundle: 0.0 code agreement, speaker retrieval 0/16 —
+        ``docs/artifacts/quantizer_roundtrip_r5.json``).  Instead invert
+        ``up`` by least squares: for s = up(c) the recovery is exact
+        (agreement 1.0), and for a nearby sample it snaps to the closest
+        lattice point in the least-squares sense.  W is recovered by
+        probing ``up`` with basis vectors (no param introspection), and
+        the 6x6 normal equations replace pinv/SVD (TPU-friendly).
+        Straight-through gradient through the rounding (stage-3 perceptual
+        distillation differentiates through this projection).
+        """
+        d = len(self.cfg.fsq_levels)
+        eye = jnp.eye(d, dtype=style.dtype)
+        bias = self.up(jnp.zeros((1, d), style.dtype))          # (1, d_style)
+        W = (self.up(eye) - bias).astype(jnp.float32)           # (d, d_style)
+        s = style.astype(jnp.float32) - bias.astype(jnp.float32)
+        G = W @ W.T                                             # (d, d)
+        z = (s @ W.T) @ jnp.linalg.inv(G)                       # (..., d)
+        lv = jnp.asarray(self.cfg.fsq_levels, jnp.float32)
+        digit_c = jnp.clip((z + 1.0) * (lv - 1.0) / 2.0, 0.0, lv - 1.0)
+        digit = digit_c + jax.lax.stop_gradient(jnp.round(digit_c) - digit_c)
+        codes = 2.0 * digit / (lv - 1.0) - 1.0
+        return self.up(codes.astype(style.dtype))
+
     def decode_indices(self, indices: jax.Array) -> jax.Array:
         return self.up(fsq.indices_to_codes(indices, self.cfg.fsq_levels))
 

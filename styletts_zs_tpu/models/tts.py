@@ -169,9 +169,15 @@ class StyleTTSZS(nn.Module):
         Inference path (SURVEY.md §3.1 "quantize → style codes"): the
         diffusion sampler emits continuous (B, K, d_style) vectors; this maps
         them to the nearest discrete style code and back to decoder space.
+
+        r5: least-squares inversion of ``up`` (StyleQuantizer.project_style),
+        NOT the training-path ``down`` projection — ``down ∘ up`` is
+        untrained and scrambled every already-quantized or sampled style it
+        re-quantized (0.0 code agreement, speaker retrieval 0/16 on the r5
+        bundle; ``docs/artifacts/quantizer_roundtrip_r5.json``).  On lattice
+        images the projection is exact, so this map is idempotent.
         """
-        quantized, _, _ = self.quantizer(style)
-        return quantized
+        return self.quantizer.project_style(style)
 
     def init_all(self, phoneme_ids, mel_gt, ref_mel, durations):
         """Touches every submodule so ``init`` creates the full param tree."""

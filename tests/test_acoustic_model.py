@@ -93,3 +93,32 @@ def test_stretch_style_codes_endpoints():
     np.testing.assert_allclose(np.asarray(out)[0, 7, 0], 3.0, atol=1e-6)
     # second utterance: last valid frame (5) hits the last code
     np.testing.assert_allclose(np.asarray(out)[1, 5, 0], 3.0, atol=1e-6)
+
+
+def test_quantize_style_idempotent_on_extracted(model_and_params):
+    """r5 regression (docs/artifacts/quantizer_roundtrip_r5.json):
+    extract_style emits up(codes); re-quantizing it must be EXACT (the old
+    down-path re-quantization recovered 0% of codes and scrambled speaker
+    identity through four rounds of synth-margin failures)."""
+    cfg, model, params = model_and_params
+    mel = jax.random.normal(jax.random.PRNGKey(3), (2, 64, cfg.audio.n_mels))
+    mask = jnp.ones((2, 64), bool)
+    styled, codes, idx = model.apply(params, mel, mask,
+                                     method=StyleTTSZS.extract_style)
+    requant = model.apply(params, styled, method=StyleTTSZS.quantize_style)
+    np.testing.assert_allclose(np.asarray(requant), np.asarray(styled),
+                               atol=1e-4)
+
+
+def test_quantize_style_projects_to_lattice(model_and_params):
+    """A continuous (sampled) style must land ON the lattice image:
+    quantize_style is idempotent, and the recovered codes round-trip
+    through the flat index map."""
+    cfg, model, params = model_and_params
+    s = jax.random.normal(jax.random.PRNGKey(4),
+                          (2, cfg.style.n_codes, cfg.style.d_style))
+    q1 = model.apply(params, s, method=StyleTTSZS.quantize_style)
+    q2 = model.apply(params, q1, method=StyleTTSZS.quantize_style)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=1e-4)
+    # and the projection actually moved the arbitrary point (it quantized)
+    assert float(jnp.mean((q1 - s) ** 2)) > 1e-4
