@@ -99,11 +99,14 @@ class StyleQuantizer(nn.Module):
         Straight-through gradient through the rounding (stage-3 perceptual
         distillation differentiates through this projection).
         """
-        d = len(self.cfg.fsq_levels)
-        eye = jnp.eye(d, dtype=style.dtype)
-        bias = self.up(jnp.zeros((1, d), style.dtype))          # (1, d_style)
-        W = (self.up(eye) - bias).astype(jnp.float32)           # (d, d_style)
-        s = style.astype(jnp.float32) - bias.astype(jnp.float32)
+        # fp32 MASTER params, not the compute-dtype cast: the rounding below
+        # is a discrete decision, and making it from bf16-cast W flips codes
+        # near lattice boundaries between the prod and fp32-golden variants
+        # (one canonical precision keeps the projection variant-stable)
+        up_params = self.up.variables["params"]
+        W = jnp.asarray(up_params["kernel"], jnp.float32)       # (d, d_style)
+        bias = jnp.asarray(up_params["bias"], jnp.float32)      # (d_style,)
+        s = style.astype(jnp.float32) - bias
         G = W @ W.T                                             # (d, d)
         z = (s @ W.T) @ jnp.linalg.inv(G)                       # (..., d)
         lv = jnp.asarray(self.cfg.fsq_levels, jnp.float32)

@@ -162,12 +162,20 @@ def run_acceptance(level: int, *, full_size: Optional[bool] = None,
                             else (64, 128))
         cfg = replace(base, serve=serve)
         params = init_params(cfg, jax.random.PRNGKey(0))
+        mesh = mesh_lib.make_mesh() if use_mesh else None
         if bundle is not None:
             from styletts_zs_tpu.pipelines.checkpoint import load_params
             trained = load_params(bundle, like={
                 k: params[k] for k in ("acoustic", "vocoder", "diffusion")})
             params = {**params, **trained}
-        mesh = mesh_lib.make_mesh() if use_mesh else None
+            if mesh is not None:
+                # orbax restores COMMITTED single-device arrays; replicate
+                # them over the mesh or the sharded-batch dispatch rejects
+                # the device mismatch (init params are uncommitted and
+                # auto-place, which is why the untrained path never hit it)
+                from jax.sharding import NamedSharding, PartitionSpec
+                params = jax.device_put(
+                    params, NamedSharding(mesh, PartitionSpec()))
         server = Server(cfg, params, mesh=mesh)
         rng = np.random.default_rng(0)
         sr = cfg.model.audio.sample_rate

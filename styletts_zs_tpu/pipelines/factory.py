@@ -19,8 +19,10 @@ def build_models(cfg: Config):
     m, r = cfg.model, cfg.runtime
     dt = compute_dtype(cfg)
     acoustic = StyleTTSZS(m, use_pallas=r.use_pallas, dtype=dt)
+    # diffusion runs at its own (fp32) dtype — see RuntimeConfig.diffusion_dtype
     diffusion = StyleDiffusion(m.diffusion, m.style, ctx_dim=m.text_encoder.dim,
-                               use_pallas=r.use_pallas, dtype=dt)
+                               use_pallas=r.use_pallas,
+                               dtype=jnp.dtype(r.diffusion_dtype))
     vocoder = Vocoder(m.vocoder, n_mels=m.audio.n_mels,
                       use_pallas=r.use_pallas, dtype=dt)
     discriminator = MultiModalDiscriminator(m.discriminator, dtype=dt)

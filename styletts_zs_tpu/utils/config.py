@@ -168,6 +168,14 @@ class RuntimeConfig:
 
     compute_dtype: str = "bfloat16"  # "float32" for the CPU golden path
     param_dtype: str = "float32"
+    # The style-diffusion net runs fp32 regardless of compute_dtype (r5):
+    # its (B, K=50, 128) latents are dispatch/HBM-bound, not MXU-bound
+    # (stage-2 MFU 30%, ~1 ms of the 69 ms serving call), so bf16 buys
+    # nothing — and the sampled latent feeds the DISCRETE lattice
+    # projection, where bf16-vs-fp32 differences flip codes at lattice
+    # boundaries and dominated the bench mel-MAE gate (0.17 vs the 0.066
+    # decoder-only bf16 drift).  fp32 keeps the snap variant-stable.
+    diffusion_dtype: str = "float32"
     use_pallas: bool = True          # False → XLA twins (CPU golden; BASELINE.json:7)
     mesh_data: int = 1               # data-parallel axis size
     mesh_model: int = 1              # tensor-parallel axis size (1 = replicated)
