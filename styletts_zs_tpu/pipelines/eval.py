@@ -133,12 +133,29 @@ def fsq_usage_stats(cfg: Config, acoustic_params, batch) -> dict:
         p = counts / max(counts.sum(), 1)
         ent = -(p[p > 0] * np.log(p[p > 0])).sum()
         perplexity.append(float(np.exp(ent)))
-    idx = np.asarray(indices).reshape(-1)
+    idx2d = np.asarray(indices).reshape(codes.shape[0] // m.style.n_codes,
+                                        m.style.n_codes)   # (B, K)
+    idx = idx2d.reshape(-1)
+    # Raw unique_frac conflates two effects (r5 decomposition,
+    # docs/artifacts/fsq_usage_r5.json): adjacent style segments of ONE
+    # utterance legitimately share codes (temporal smoothness, ~50%
+    # repetition), which halves the raw fraction without any collapse.
+    # The collapse-sensitive statistic is cross-utterance: dedupe codes
+    # within each utterance first, then ask how many utterance-level codes
+    # are distinct ACROSS utterances (A3 "diverse prosodic variations").
+    per_utt = [np.unique(r) for r in idx2d]
+    n_utt_codes = sum(u.size for u in per_utt)
+    n_cross = np.unique(np.concatenate(per_utt)).size
     return {
         "fsq_dim_perplexity": [round(p, 2) for p in perplexity],
         "fsq_dim_levels": list(levels),
         "fsq_unique_codes": int(np.unique(idx).size),
         "fsq_unique_frac": round(float(np.unique(idx).size / idx.size), 4),
+        "fsq_unique_frac_cross_utterance": round(
+            float(n_cross / max(n_utt_codes, 1)), 4),
+        "fsq_within_utt_repetition": round(
+            1.0 - float(np.mean([u.size for u in per_utt]))
+            / m.style.n_codes, 4),
         "fsq_n_codes_seen_of": int(idx.size),
     }
 
