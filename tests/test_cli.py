@@ -53,3 +53,34 @@ def test_cli_synth_ref_wav_off_rate(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     mel = np.load(out)
     assert np.isfinite(mel).all()
+
+
+def test_eval_final_margin_multiseed(tmp_path):
+    """scripts/eval_final_margin.py --seeds/--batch-seeds: the A1/A6 gate's
+    robustness mode runs S sampling seeds x B fresh held-out speaker sets
+    against a saved bundle and aggregates (mean/min) the margins."""
+    import json
+
+    import jax
+
+    from styletts_zs_tpu.pipelines.checkpoint import save_params
+    from styletts_zs_tpu.pipelines.factory import init_params
+    from styletts_zs_tpu.utils.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    save_params(str(tmp_path / "final"),
+                {k: params[k] for k in ("acoustic", "vocoder", "diffusion")})
+    out = str(tmp_path / "m.json")
+    r = subprocess.run(
+        [sys.executable, "scripts/eval_final_margin.py", "--tiny",
+         "--workdir", str(tmp_path), "--seeds", "2", "--batch-seeds", "2",
+         "--out", out],
+        capture_output=True, text=True, cwd=REPO, env=ENV, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.load(open(out))
+    assert res["n_runs"] == 4 and len(res["runs"]) == 4
+    assert np.isfinite(res["sim_margin_mean"])
+    assert res["sim_margin_min"] <= res["sim_margin_mean"]
+    # headline compatibility: top-level sim_margin is the (b=0, s=0) gate run
+    assert res["sim_margin"] == res["runs"][0]["sim_margin"]
